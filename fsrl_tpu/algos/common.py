@@ -1,0 +1,97 @@
+"""Shared algorithm plumbing: on-policy batch processing and optimizer helpers.
+
+Replaces the reference's ``BasePolicy.process_fn`` / ``compute_gae_returns``
+(``fsrl/policy/base_policy.py:332-451``) with pure functions over time-major
+rollout pytrees. All (1 + M) metric channels are processed jointly as a trailing
+axis K = 1 + M (column 0 = reward, 1..M = costs — the reference's critic-list
+convention as a dense tensor).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from fsrl_tpu.ops.gae import gae_advantages
+from fsrl_tpu.types import Transition
+
+Array = jax.Array
+
+
+@struct.dataclass
+class OnPolicyBatch:
+    """Flattened (B = T*N) processed batch for policy-gradient updates."""
+
+    obs: Array        # (B, obs_dim)
+    act: Array        # (B, act_dim)
+    logp_old: Array   # (B,)
+    adv: Array        # (B, K)
+    ret: Array        # (B, K)
+    value_old: Array  # (B, K)
+
+
+def metrics_of(tr: Transition) -> Array:
+    """Stack reward + cost channels → (T, N, K) (reference ``get_metrics``,
+    base_policy.py:377-382)."""
+    return jnp.concatenate([tr.reward[..., None], tr.cost], axis=-1)
+
+
+def process_rollout(
+    critic_apply: Callable[[Any, Array], Array],  # params, obs -> (..., K) values
+    params,
+    tr: Transition,
+    gamma: float,
+    lam: float,
+) -> OnPolicyBatch:
+    """GAE over the rollout segment.
+
+    * bootstrap mask: ``v(s') = 0`` where terminated (reference ``value_mask``).
+    * the lambda-chain breaks at done steps; the segment tail is naturally
+      truncated by the reverse scan (equivalent to the reference forcing
+      ``end_flag=True`` at ``buffer.unfinished_index()``, base_policy.py:410-411).
+    """
+    T, N = tr.reward.shape
+    m = metrics_of(tr)                                # (T, N, K)
+    values = critic_apply(params, tr.obs)             # (T, N, K)
+    values_next = critic_apply(params, tr.obs_next)   # (T, N, K)
+    mask = jnp.logical_not(tr.terminated).astype(values.dtype)[..., None]
+    values_next = values_next * mask
+    end_flag = jnp.logical_or(tr.terminated, tr.truncated)
+    adv, ret = gae_advantages(m, values, values_next, end_flag, gamma, lam)
+
+    flat = lambda x: x.reshape((T * N,) + x.shape[2:])
+    return OnPolicyBatch(
+        obs=flat(tr.obs), act=flat(tr.act), logp_old=flat(tr.logp),
+        adv=flat(adv), ret=flat(ret), value_old=flat(values),
+    )
+
+
+def normalize_adv(adv: Array, eps: float = 1e-8) -> Array:
+    """Per-batch, per-channel advantage normalization (reference
+    ``ppo_lag.py:178-182`` — note it normalizes cost channels too)."""
+    mean = jnp.mean(adv, axis=0, keepdims=True)
+    std = jnp.std(adv, axis=0, keepdims=True)
+    return (adv - mean) / (std + eps)
+
+
+def make_optimizer(lr: float, max_grad_norm: float | None = None):
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adam(lr))
+    return optax.chain(*chain)
+
+
+def select_tree(pred: Array, on_true, on_false):
+    """Leafwise ``where`` with a scalar bool — used to mask out optimizer steps
+    after KL early stop while keeping shapes static (SURVEY.md §7 hard parts)."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def soft_update(target, online, tau: float):
+    """Polyak averaging for target networks (reference ``sync_weight``)."""
+    return jax.tree.map(lambda t, o: (1.0 - tau) * t + tau * o, target, online)

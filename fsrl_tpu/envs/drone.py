@@ -1,0 +1,100 @@
+"""Drone agent: simplified planar-attitude quadrotor (4 rotor inputs) —
+SafetyDroneRun-v0 / SafetyDroneCircle-v0 analogs of Bullet-Safety-Gym's Drone.
+
+Dynamics: rigid body with roll/pitch attitude, rotor mixing to (thrust, roll
+torque, pitch torque); yaw is ignored. Gravity must be actively compensated, and
+the episode terminates on ground contact (z <= 0) — the one agent in the family
+with a true ``terminated`` signal, exercising the value-mask path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fsrl_tpu.envs.base import SafeEnv, register
+from fsrl_tpu.envs.tasks import CircleTask, RunTask
+
+Array = jax.Array
+
+DT = 0.05
+G = 9.81
+THRUST_MAX = 2.0 * G      # per-unit total thrust at action=+1
+TILT_RATE = 4.0           # attitude torque scale
+ANG_DRAG = 2.0
+LIN_DRAG = 0.3
+Z_TARGET = 2.0
+VEL_SCALE = 5.0
+
+
+@struct.dataclass
+class DroneSim:
+    pos: Array     # (3,)
+    vel: Array     # (3,)
+    att: Array     # (2,) roll, pitch
+    angvel: Array  # (2,)
+
+
+class DroneEnv(SafeEnv):
+    action_size = 4  # rotor thrusts in [-1, 1] (mapped to [0, 1])
+    max_episode_steps = 500
+
+    def __init__(self, task):
+        self.task = task
+        self.observation_size = 10 + task.obs_extras(jnp.zeros(2), jnp.zeros(2)).shape[0]
+
+    def _init_sim(self, rng: Array) -> DroneSim:
+        k1, k2 = jax.random.split(rng)
+        if isinstance(self.task, CircleTask):
+            theta = jax.random.uniform(k1, (), minval=0, maxval=2 * jnp.pi)
+            xy = self.task.radius * jnp.array([jnp.cos(theta), jnp.sin(theta)])
+            xy = xy.at[0].set(jnp.clip(xy[0], -self.task.x_lim, self.task.x_lim))
+        else:
+            xy = jax.random.uniform(k1, (2,), minval=-0.5, maxval=0.5)
+        pos = jnp.concatenate([xy, jnp.array([Z_TARGET])])
+        vel = 0.1 * jax.random.normal(k2, (3,))
+        return DroneSim(pos=pos, vel=vel, att=jnp.zeros(2), angvel=jnp.zeros(2))
+
+    def _step_sim(self, sim: DroneSim, action: Array, rng: Array) -> DroneSim:
+        rotors = 0.5 * (action + 1.0)  # [0, 1]
+        thrust = THRUST_MAX * jnp.mean(rotors)
+        # X-configuration mixing for roll/pitch torques
+        roll_t = TILT_RATE * (rotors[0] + rotors[2] - rotors[1] - rotors[3]) * 0.5
+        pitch_t = TILT_RATE * (rotors[0] + rotors[1] - rotors[2] - rotors[3]) * 0.5
+        angvel = sim.angvel + DT * (jnp.array([roll_t, pitch_t]) - ANG_DRAG * sim.angvel)
+        att = jnp.clip(sim.att + DT * angvel, -0.8, 0.8)
+        roll, pitch = att[0], att[1]
+        # small-angle body-z thrust direction in world frame
+        acc = thrust * jnp.array([
+            jnp.sin(pitch), -jnp.sin(roll) * jnp.cos(pitch),
+            jnp.cos(roll) * jnp.cos(pitch),
+        ]) - jnp.array([0.0, 0.0, G]) - LIN_DRAG * sim.vel
+        vel = sim.vel + DT * acc
+        pos = sim.pos + DT * vel
+        return DroneSim(pos=pos, vel=vel, att=att, angvel=angvel)
+
+    def _obs(self, sim: DroneSim) -> Array:
+        base = jnp.concatenate([
+            sim.vel / VEL_SCALE,
+            sim.att,
+            sim.angvel / 4.0,
+            jnp.array([(sim.pos[2] - Z_TARGET) / Z_TARGET,
+                       jnp.tanh(sim.pos[0] / 10.0),
+                       jnp.tanh(sim.pos[1] / 10.0)]),
+        ])
+        return jnp.concatenate([base, self.task.obs_extras(sim.pos[:2], sim.vel[:2])])
+
+    def _reward_cost(self, sim_prev: DroneSim, sim: DroneSim, action: Array):
+        reward, cost = self.task.reward_cost(sim.pos[:2], sim.vel[:2])
+        # altitude-hold shaping + crash penalty keep the task well-posed in 3D
+        reward = reward - 0.1 * jnp.abs(sim.pos[2] - Z_TARGET) \
+            - 10.0 * self._terminated(sim).astype(jnp.float32)
+        return reward, cost
+
+    def _terminated(self, sim: DroneSim) -> Array:
+        return jnp.logical_or(sim.pos[2] <= 0.0, sim.pos[2] > 4.0 * Z_TARGET)
+
+
+register("SafetyDroneRun-v0", lambda **kw: DroneEnv(RunTask(**kw)))
+register("SafetyDroneCircle-v0", lambda **kw: DroneEnv(CircleTask(**kw)))

@@ -1,0 +1,190 @@
+"""MLP actor/critic zoo, TPU-first.
+
+Mirrors the capability surface of Tianshou's ``Net`` / ``ActorProb`` / ``Actor`` /
+``Critic`` / FSRL's ``DoubleCritic``/``SingleCritic`` (reference
+``fsrl/utils/net/continuous.py``, ``fsrl/agent/ppo_lag_agent.py:131-161``) with one
+key structural change: the per-metric critic *list* of the reference becomes a
+**stacked critic ensemble** via ``flax.linen.vmap`` — all (1 + M) value heads (and
+the 2x double-Q heads) evaluate as a single batched matmul chain that tiles onto
+the MXU instead of M+1 small sequential matmuls.
+
+Initialization parity with the reference recipe:
+* orthogonal weight init, zero bias (``ppo_lag_agent.py:149-153``)
+* actor sigma param initialized to -0.5 (``ppo_lag_agent.py:147``)
+* optional 0.01 last-layer scaling of the mu head (``ppo_lag_agent.py:154-160``)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fsrl_tpu.nets.distributions import DiagGaussian, TanhGaussian
+
+Array = jax.Array
+
+SIGMA_MIN, SIGMA_MAX = -20.0, 2.0
+
+
+def orthogonal_init(scale: float = 1.0):
+    return nn.initializers.orthogonal(scale)
+
+
+class MLP(nn.Module):
+    """Plain MLP trunk; ReLU like Tianshou's ``Net`` default."""
+
+    hidden_sizes: Sequence[int]
+    activation: Callable = nn.relu
+    out_dim: int | None = None
+    out_scale: float = 1.0  # last-layer init scale (0.01 trick when enabled)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for h in self.hidden_sizes:
+            x = nn.Dense(h, kernel_init=orthogonal_init(), bias_init=nn.initializers.zeros)(x)
+            x = self.activation(x)
+        if self.out_dim is not None:
+            x = nn.Dense(
+                self.out_dim,
+                kernel_init=orthogonal_init(self.out_scale),
+                bias_init=nn.initializers.zeros,
+            )(x)
+        return x
+
+
+class GaussianActor(nn.Module):
+    """Gaussian policy head == Tianshou ``ActorProb``.
+
+    * ``conditioned_sigma=False``: a free log-sigma parameter (init -0.5), the
+      PPO/TRPO/CPO/FOCOPS/CVPO recipe.
+    * ``conditioned_sigma=True``: state-conditioned log-sigma head, clamped to
+      [SIGMA_MIN, SIGMA_MAX], the SAC recipe.
+    * ``unbounded=False`` applies ``max_action * tanh(mu)``.
+    """
+
+    act_dim: int
+    hidden_sizes: Sequence[int] = (128, 128)
+    max_action: float = 1.0
+    unbounded: bool = False
+    conditioned_sigma: bool = False
+    last_layer_scale: bool = False
+
+    @nn.compact
+    def __call__(self, obs: Array) -> DiagGaussian:
+        trunk = MLP(self.hidden_sizes)(obs)
+        mu = nn.Dense(
+            self.act_dim,
+            kernel_init=orthogonal_init(0.01 if self.last_layer_scale else 1.0),
+            bias_init=nn.initializers.zeros,
+        )(trunk)
+        if not self.unbounded:
+            mu = self.max_action * jnp.tanh(mu)
+        if self.conditioned_sigma:
+            log_sigma = nn.Dense(
+                self.act_dim, kernel_init=orthogonal_init(), bias_init=nn.initializers.zeros
+            )(trunk)
+            log_sigma = jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX)
+        else:
+            log_sigma = self.param(
+                "log_sigma", nn.initializers.constant(-0.5), (self.act_dim,)
+            )
+            log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
+        return DiagGaussian(mean=mu, std=jnp.exp(log_sigma))
+
+    def tanh_dist(self, obs: Array) -> TanhGaussian:  # used by SAC path
+        d = self(obs)
+        return TanhGaussian(mean=d.mean, std=d.std)
+
+
+class DeterministicActor(nn.Module):
+    """Deterministic policy == Tianshou ``Actor`` (DDPG): max_action * tanh(mu)."""
+
+    act_dim: int
+    hidden_sizes: Sequence[int] = (128, 128)
+    max_action: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs: Array) -> Array:
+        trunk = MLP(self.hidden_sizes)(obs)
+        mu = nn.Dense(self.act_dim, kernel_init=orthogonal_init(),
+                      bias_init=nn.initializers.zeros)(trunk)
+        return self.max_action * jnp.tanh(mu)
+
+
+class _VHead(nn.Module):
+    hidden_sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, obs: Array) -> Array:
+        return MLP(self.hidden_sizes, out_dim=1)(obs)[..., 0]
+
+
+class VCriticEnsemble(nn.Module):
+    """(1 + M) independent V(s) critics evaluated as one stacked ensemble.
+
+    Output shape (..., num_critics): column 0 is the reward critic, columns 1..M
+    the cost critics — the reference's critic-list convention
+    (``base_policy.py:85-108``) as a dense tensor.
+    """
+
+    num_critics: int
+    hidden_sizes: Sequence[int] = (128, 128)
+
+    @nn.compact
+    def __call__(self, obs: Array) -> Array:
+        vhead = nn.vmap(
+            _VHead,
+            in_axes=None, out_axes=-1,
+            axis_size=self.num_critics,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )(self.hidden_sizes)
+        return vhead(obs)
+
+
+class _QHead(nn.Module):
+    hidden_sizes: Sequence[int]
+
+    @nn.compact
+    def __call__(self, obs: Array, act: Array) -> Array:
+        x = jnp.concatenate([obs, act], axis=-1)
+        return MLP(self.hidden_sizes, out_dim=1)(x)[..., 0]
+
+
+class QCriticEnsemble(nn.Module):
+    """(num_metrics, num_q) stacked Q(s, a) critics.
+
+    ``num_q=1`` reproduces FSRL's ``SingleCritic`` per metric (DDPG-Lag),
+    ``num_q=2`` its ``DoubleCritic`` (SAC-Lag / CVPO) — ``predict`` = min over the
+    q axis exactly like ``continuous.py:predict``. Output shape
+    (..., num_metrics, num_q).
+    """
+
+    num_metrics: int
+    num_q: int = 2
+    hidden_sizes: Sequence[int] = (128, 128)
+
+    @nn.compact
+    def __call__(self, obs: Array, act: Array) -> Array:
+        inner = nn.vmap(
+            _QHead,
+            in_axes=None, out_axes=-1,
+            axis_size=self.num_q,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )
+        outer = nn.vmap(
+            inner,
+            in_axes=None, out_axes=-2,
+            axis_size=self.num_metrics,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )(self.hidden_sizes)
+        return outer(obs, act)
+
+    def predict(self, obs: Array, act: Array) -> Array:
+        """Min over double-Q heads → (..., num_metrics)."""
+        return jnp.min(self(obs, act), axis=-1)

@@ -1,0 +1,203 @@
+"""Core pytree containers for FSRL-TPU.
+
+The reference (liuzuxin/FSRL) uses Tianshou's ``Batch`` — a mutable nested
+dict-of-arrays (see reference ``fsrl/data/fast_collector.py``). The TPU-native
+equivalent is plain JAX pytrees built from ``flax.struct`` dataclasses: immutable,
+jit-traceable, shardable with ``jax.sharding``.
+
+Conventions
+-----------
+* Rollout data is **time-major**: leading axes ``(T, N_envs, ...)`` so that GAE and
+  other temporal kernels are a single ``lax.scan`` over axis 0.
+* ``cost`` is a first-class field of shape ``(..., M)`` for M constraints (the
+  reference smuggles it through ``info["cost"]``, ``base_policy.py:377-382``).
+* ``terminated`` vs ``truncated`` are kept separate so bootstrap masking matches the
+  reference's ``value_mask`` semantics (``base_policy.py:357-375``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+Array = jax.Array
+PyTree = Any
+
+
+@struct.dataclass
+class Timestep:
+    """One environment step's outputs (vectorized over leading axes)."""
+
+    obs: Array          # (..., obs_dim) observation AFTER the step (next obs)
+    reward: Array       # (...,)
+    cost: Array         # (..., M)
+    terminated: Array   # (...,) bool — true env termination (no bootstrap)
+    truncated: Array    # (...,) bool — time-limit truncation (bootstrap allowed)
+
+    @property
+    def done(self) -> Array:
+        return jnp.logical_or(self.terminated, self.truncated)
+
+
+@struct.dataclass
+class Transition:
+    """A full (s, a, r, c, s') transition as stored by collectors/buffers."""
+
+    obs: Array          # (..., obs_dim)
+    act: Array          # (..., act_dim) — the *raw* policy action (pre map_action)
+    obs_next: Array     # (..., obs_dim)
+    reward: Array       # (...,)
+    cost: Array         # (..., M)
+    terminated: Array   # (...,) bool
+    truncated: Array    # (...,) bool
+    logp: Array         # (...,) behavior log-prob at collection time
+
+    @property
+    def done(self) -> Array:
+        return jnp.logical_or(self.terminated, self.truncated)
+
+
+@struct.dataclass
+class EpisodeStats:
+    """Running per-env episode accumulators + completed-episode aggregates.
+
+    Reproduces the episodic statistics the reference's ``FastCollector`` returns
+    (``fast_collector.py:399-408``): mean episodic reward / cost / length plus
+    episode and step counts, maintained fully on device.
+    """
+
+    # per-env running accumulators, shape (N_envs,) / (N_envs, M)
+    ep_reward: Array
+    ep_cost: Array
+    ep_len: Array
+    # aggregates over completed episodes (scalars / (M,))
+    n_episodes: Array
+    n_steps: Array
+    sum_reward: Array
+    sum_cost: Array
+    sum_len: Array
+    n_terminated: Array
+    n_truncated: Array
+
+    @classmethod
+    def init(cls, n_envs: int, n_costs: int = 1) -> "EpisodeStats":
+        f = jnp.zeros
+        return cls(
+            ep_reward=f((n_envs,)),
+            ep_cost=f((n_envs, n_costs)),
+            ep_len=f((n_envs,), jnp.int32),
+            n_episodes=jnp.zeros((), jnp.int32),
+            n_steps=jnp.zeros((), jnp.int32),
+            sum_reward=jnp.zeros(()),
+            sum_cost=f((n_costs,)),
+            sum_len=jnp.zeros(()),
+            n_terminated=jnp.zeros((), jnp.int32),
+            n_truncated=jnp.zeros((), jnp.int32),
+        )
+
+    def update(self, ts: Timestep) -> "EpisodeStats":
+        """Fold one vectorized env step into the accumulators (jit-safe)."""
+        ep_reward = self.ep_reward + ts.reward
+        ep_cost = self.ep_cost + ts.cost
+        ep_len = self.ep_len + 1
+        done = ts.done
+        donef = done.astype(ep_reward.dtype)
+        n_new = jnp.sum(done.astype(jnp.int32))
+        return self.replace(
+            ep_reward=jnp.where(done, 0.0, ep_reward),
+            ep_cost=jnp.where(done[..., None], 0.0, ep_cost),
+            ep_len=jnp.where(done, 0, ep_len),
+            n_episodes=self.n_episodes + n_new,
+            n_steps=self.n_steps + ep_len.shape[0] if ep_len.ndim else self.n_steps + 1,
+            sum_reward=self.sum_reward + jnp.sum(donef * ep_reward),
+            sum_cost=self.sum_cost + jnp.sum(donef[..., None] * ep_cost, axis=0),
+            sum_len=self.sum_len + jnp.sum(donef * ep_len),
+            n_terminated=self.n_terminated + jnp.sum(ts.terminated.astype(jnp.int32)),
+            n_truncated=self.n_truncated + jnp.sum(ts.truncated.astype(jnp.int32)),
+        )
+
+    def reset_aggregates(self) -> "EpisodeStats":
+        """Zero the completed-episode aggregates while keeping per-env running
+        accumulators — start of a new collect window (the reference resets its
+        collect-level stats per ``collect()`` call)."""
+        z = jnp.zeros_like
+        return self.replace(
+            n_episodes=z(self.n_episodes), n_steps=z(self.n_steps),
+            sum_reward=z(self.sum_reward), sum_cost=z(self.sum_cost),
+            sum_len=z(self.sum_len), n_terminated=z(self.n_terminated),
+            n_truncated=z(self.n_truncated),
+        )
+
+    # --- aggregate views (match FastCollector's returned stat keys) ---
+    @property
+    def mean_reward(self) -> Array:
+        return self.sum_reward / jnp.maximum(self.n_episodes, 1)
+
+    @property
+    def mean_cost(self) -> Array:
+        """Mean episodic cost per constraint, shape (M,)."""
+        return self.sum_cost / jnp.maximum(self.n_episodes, 1)
+
+    @property
+    def mean_length(self) -> Array:
+        return self.sum_len / jnp.maximum(self.n_episodes, 1)
+
+    def merge_across(self, axis_name: str) -> "EpisodeStats":
+        """psum the aggregate fields across a mesh axis (global episodic stats).
+
+        The PID multiplier must see the *global* mean episodic cost — the
+        reference computes it over the entire collect (``lagrangian_base.py:98-100``).
+        """
+        psum = lambda x: jax.lax.psum(x, axis_name)
+        return self.replace(
+            n_episodes=psum(self.n_episodes),
+            n_steps=psum(self.n_steps),
+            sum_reward=psum(self.sum_reward),
+            sum_cost=psum(self.sum_cost),
+            sum_len=psum(self.sum_len),
+            n_terminated=psum(self.n_terminated),
+            n_truncated=psum(self.n_truncated),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Small pytree utilities (the Batch.split / Batch[index] equivalents)
+# ---------------------------------------------------------------------------
+
+def tree_index(tree: PyTree, idx) -> PyTree:
+    """Index every leaf's leading axis."""
+    return jax.tree.map(lambda x: x[idx], tree)
+
+
+def tree_flatten_time(tree: PyTree) -> PyTree:
+    """Merge leading (T, N) axes into one batch axis (T*N, ...)."""
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), tree)
+
+
+def tree_concat(trees: list, axis: int = 0) -> PyTree:
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=axis), *trees)
+
+
+def tree_stack(trees: list, axis: int = 0) -> PyTree:
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=axis), *trees)
+
+
+def minibatch_scan(
+    rng: Array,
+    batch: PyTree,
+    n_minibatches: int,
+    body: Callable,
+    carry_init: PyTree,
+):
+    """Shuffle a flat batch and scan ``body(carry, minibatch) -> (carry, out)``
+    over equal-size minibatches. The jit-native replacement for Tianshou's
+    ``Batch.split(batch_size, merge_last=True)`` loop."""
+    size = jax.tree.leaves(batch)[0].shape[0]
+    perm = jax.random.permutation(rng, size)
+    usable = (size // n_minibatches) * n_minibatches
+    perm = perm[:usable].reshape(n_minibatches, -1)
+    mbs = jax.tree.map(lambda x: x[perm], batch)  # (n_mb, mb_size, ...)
+    return jax.lax.scan(body, carry_init, mbs)

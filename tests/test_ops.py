@@ -1,0 +1,162 @@
+"""Numerical unit tests for the return/multiplier/trust-region kernels against
+tiny hand-computed (numpy) references — coverage the reference repo lacks
+(SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fsrl_tpu.ops.cg import conjugate_gradient, flatten, make_fvp
+from fsrl_tpu.ops.gae import discounted_returns, gae_advantages
+from fsrl_tpu.ops.lagrange import PIDLagrangianState, pid_step, rescaling_factor
+from fsrl_tpu.ops.nstep import nstep_forward_indices, nstep_targets
+from fsrl_tpu.ops.running_stats import RunningMeanStd
+
+
+def np_gae(value, value_next, rew, end_flag, gamma, lam):
+    """Direct numpy port of the reference numba kernel semantics
+    (base_policy.py:524-540) for verification."""
+    returns = np.zeros_like(rew)
+    delta = rew + value_next * gamma - value
+    discount = (1.0 - end_flag) * (gamma * lam)
+    gae = 0.0
+    for i in range(len(rew) - 1, -1, -1):
+        gae = delta[i] + discount[i] * gae
+        returns[i] = gae
+    return returns
+
+
+def test_gae_matches_reference_recurrence():
+    rng = np.random.RandomState(0)
+    T = 37
+    rew = rng.randn(T).astype(np.float32)
+    v = rng.randn(T).astype(np.float32)
+    vn = rng.randn(T).astype(np.float32)
+    end = (rng.rand(T) < 0.15)
+    want = np_gae(v, vn, rew, end.astype(np.float32), 0.99, 0.95)
+
+    adv, ret = gae_advantages(
+        jnp.asarray(rew)[:, None, None], jnp.asarray(v)[:, None, None],
+        jnp.asarray(vn)[:, None, None], jnp.asarray(end)[:, None], 0.99, 0.95,
+    )
+    np.testing.assert_allclose(np.asarray(adv[:, 0, 0]), want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret[:, 0, 0]), want + v, rtol=1e-5, atol=1e-5)
+
+
+def test_gae_multi_channel_and_env():
+    rng = np.random.RandomState(1)
+    T, N, K = 19, 3, 2
+    rew = rng.randn(T, N, K).astype(np.float32)
+    v = rng.randn(T, N, K).astype(np.float32)
+    vn = rng.randn(T, N, K).astype(np.float32)
+    end = rng.rand(T, N) < 0.2
+    adv, _ = gae_advantages(jnp.asarray(rew), jnp.asarray(v), jnp.asarray(vn),
+                            jnp.asarray(end), 0.9, 0.7)
+    for n in range(N):
+        for k in range(K):
+            want = np_gae(v[:, n, k], vn[:, n, k], rew[:, n, k],
+                          end[:, n].astype(np.float32), 0.9, 0.7)
+            np.testing.assert_allclose(np.asarray(adv[:, n, k]), want, rtol=1e-4,
+                                       atol=1e-4)
+
+
+def test_discounted_returns_simple():
+    # two steps, no end: G0 = r0 + g*r1 + g^2*b
+    m = jnp.array([[[1.0]], [[2.0]]])
+    end = jnp.zeros((2, 1), bool)
+    boot = jnp.array([[3.0]])
+    rets = discounted_returns(m, end, boot, 0.5)
+    np.testing.assert_allclose(np.asarray(rets[:, 0, 0]), [1 + 0.5 * 2 + 0.25 * 3,
+                                                           2 + 0.5 * 3])
+
+
+def test_pid_lagrangian_matches_reference():
+    """Trace the exact reference PID recurrence (optim_util.py:28-41)."""
+    kp, ki, kd = 0.05, 0.0005, 0.1
+    limits = jnp.array([10.0])
+    st = PIDLagrangianState.init(1)
+    e_old, e_int = 0.0, 0.0
+    for cost in [25.0, 18.0, 9.0, 5.0, 30.0]:
+        st = pid_step(st, jnp.array([cost]), limits, kp, ki, kd)
+        e_new = cost - 10.0
+        e_diff = max(0.0, e_new - e_old)
+        e_int = max(0.0, e_int + e_new)
+        lam = max(0.0, kp * e_new + ki * e_int + kd * e_diff)
+        e_old = e_new
+        assert float(st.multiplier[0]) == pytest.approx(lam, rel=1e-6)
+    # rescaling trick
+    assert float(rescaling_factor(st.multiplier)) == pytest.approx(
+        1.0 / (float(st.multiplier[0]) + 1.0))
+
+
+def test_pid_reduces_to_sgd_ascent():
+    st = PIDLagrangianState.init(1)
+    st = pid_step(st, jnp.array([20.0]), jnp.array([10.0]), 0.0, 0.1, 0.0)
+    st = pid_step(st, jnp.array([20.0]), jnp.array([10.0]), 0.0, 0.1, 0.0)
+    assert float(st.multiplier[0]) == pytest.approx(0.1 * 20.0)  # ki * integral
+
+
+def test_conjugate_gradient_solves_spd():
+    rng = np.random.RandomState(2)
+    A_ = rng.randn(8, 8)
+    A = A_ @ A_.T + 8 * np.eye(8)
+    b = rng.randn(8)
+    x = conjugate_gradient(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), n_iters=20)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_fvp_is_hessian_vector_product():
+    # KL of a 1-param gaussian mean: kl(p) = 0.5*(p - p0)^2 → H = 1
+    params = {"w": jnp.array([0.3, -0.2])}
+    p0 = jnp.array([0.3, -0.2])
+    kl_fn = lambda p: 0.5 * jnp.sum((p["w"] - p0) ** 2)
+    fvp = make_fvp(kl_fn, params, damping=0.0)
+    v = jnp.array([1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(fvp(v)), np.asarray(v), atol=1e-6)
+
+
+def test_nstep_targets_match_naive():
+    """3-env ring layout, hand-checked 2-step target with an episode break."""
+    # flat layout: idx = t * N + env, N=1 here for clarity
+    metrics = jnp.array([[1.0], [2.0], [4.0], [8.0]])
+    end = jnp.array([False, True, False, False])
+    next_flat = jnp.array([1, 2, 3, 3])
+    gamma = 0.5
+    idx = jnp.array([0, 2])
+    chain = nstep_forward_indices(idx, next_flat, 2)
+    np.testing.assert_array_equal(np.asarray(chain), [[0, 2], [1, 3]])
+    target_q = jnp.array([[10.0], [20.0]])  # masked Q at terminal index
+    got = nstep_targets(metrics, end, target_q, chain, gamma)
+    # sample 0: t0 (end at t1): G = r0 + g*r1, ep ends → no bootstrap beyond:
+    #   reference recurrence: gammas=2 unless end; end at n=1 (idx 1) → gammas=2?
+    #   walk n=1: now=1 end→returns=0,gammas=2; returns=2+0.5*0=2
+    #   walk n=0: now=0 not end; returns=1+0.5*2=2; target=q*g^2*? gammas=2
+    #   → G = 10*0.25 + 2 = 4.5 ... but end at terminal means q should be masked
+    #   by value_mask upstream; here q=10 retained deliberately to check math.
+    assert float(got[0, 0]) == pytest.approx(1 + 0.5 * 2 + 0.25 * 10)
+    # sample 1: no end in chain: G = r2 + g*r3 + g^2 * q
+    assert float(got[1, 0]) == pytest.approx(4 + 0.5 * 8 + 0.25 * 20)
+
+
+def test_nstep_end_resets_gamma_exponent():
+    # end at the FIRST step of the chain: only r0 counts, bootstrap gamma^1
+    metrics = jnp.array([[5.0], [7.0]])
+    end = jnp.array([True, False])
+    next_flat = jnp.array([1, 1])
+    chain = nstep_forward_indices(jnp.array([0]), next_flat, 2)
+    got = nstep_targets(metrics, end, jnp.array([[100.0]]), chain, 0.5)
+    # reference recurrence: n=1: now=1, no end, returns=7; n=0: now=0 end →
+    # returns=0, gammas=1, returns=5+0.5*0=5 → G=5 + 100*0.5
+    assert float(got[0, 0]) == pytest.approx(5 + 0.5 * 100)
+
+
+def test_running_mean_std_welford():
+    rng = np.random.RandomState(3)
+    data = rng.randn(1000, 4) * 3 + 1
+    rms = RunningMeanStd.init((4,))
+    for chunk in np.split(data, 10):
+        rms = rms.update(jnp.asarray(chunk))
+    np.testing.assert_allclose(np.asarray(rms.mean), data.mean(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rms.var), data.var(0), rtol=1e-3)
