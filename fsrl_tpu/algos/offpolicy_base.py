@@ -1,0 +1,48 @@
+"""Shared off-policy machinery: n-step target assembly from the device ring
+buffer (reference ``BasePolicy.compute_nstep_returns``, base_policy.py:453-512,
+with target networks and value masking)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
+from fsrl_tpu.ops.nstep import nstep_forward_indices, nstep_targets
+from fsrl_tpu.types import Transition
+
+Array = jax.Array
+
+
+def sample_nstep_batch(
+    buffer: ReplayBuffer,
+    buf_state: ReplayBufferState,
+    rng: Array,
+    batch_size: int,
+    n_step: int,
+    gamma: float,
+    target_q_fn: Callable[[Transition], Array],  # batch at terminal -> (B, K)
+) -> tuple[Transition, Array]:
+    """Sample a batch and build per-channel n-step targets.
+
+    Returns (batch at the sampled indices, rets (B, K)). ``target_q_fn``
+    receives the transition batch at the chain-terminal indices and must return
+    the (B, K) target value of ``obs_next`` there (e.g. target-critic Q of the
+    target-actor action). Value masking (zero where terminated) is applied here
+    (reference ``value_mask``, base_policy.py:489-502).
+    """
+    idx = buffer.sample_indices(buf_state, rng, batch_size)
+    chain = nstep_forward_indices(idx, buffer.next_flat(buf_state), n_step)
+    terminal = chain[-1]
+    term_batch = buffer.gather(buf_state, terminal)
+    target_q = target_q_fn(term_batch)                       # (B, K)
+    mask = jnp.logical_not(term_batch.terminated).astype(target_q.dtype)
+    target_q = target_q * mask[:, None]
+    rets = nstep_targets(
+        buffer.metrics_flat(buf_state), buffer.end_flag_flat(buf_state),
+        target_q, chain, gamma,
+    )
+    batch = buffer.gather(buf_state, idx)
+    return batch, rets

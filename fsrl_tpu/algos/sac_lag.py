@@ -1,0 +1,230 @@
+"""SAC-Lagrangian, TPU-native.
+
+Re-derivation of the reference ``SACLagrangian`` (``fsrl/policy/sac_lag.py``):
+
+* tanh-squashed state-conditioned Gaussian actor with closed-form log-prob
+  correction (sac_lag.py:155-183); the squashed action is what gets stored and
+  fed to critics
+* per-metric DOUBLE-Q critics; target = min-Q(target net) - alpha * logp for
+  every metric channel incl. costs (sac_lag.py:136-145)
+* critic loss sums both Q heads' TD errors per metric (sac_lag.py:185-210)
+* actor loss ``rescale * (alpha*logp - minQ0 + sum_i lambda_i minQc_i)``
+  (sac_lag.py:212-235)
+* auto-alpha entropy tuning with target entropy -act_dim
+  (sac_lag.py:237-250, sac_lag_agent.py:175-179)
+* only critics have target networks (sync_weight, sac_lag.py:132-134)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from fsrl_tpu.algos.common import make_optimizer, soft_update
+from fsrl_tpu.algos.offpolicy_base import sample_nstep_batch
+from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
+from fsrl_tpu.nets.mlp import GaussianActor, QCriticEnsemble
+from fsrl_tpu.nets.distributions import TanhGaussian
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_step,
+                                   rescaling_factor)
+
+Array = jax.Array
+
+
+@struct.dataclass
+class SACLagState:
+    params: Any                # {"actor", "critics"}
+    target_critic_params: Any
+    actor_opt_state: Any
+    critic_opt_state: Any
+    log_alpha: Array
+    alpha_opt_state: Any
+    lag: PIDLagrangianState
+    last_ep_cost: Array
+    update_count: Array
+    gradient_steps: Array
+
+
+class SACLag:
+    name = "sac_lag"
+
+    def __init__(
+        self,
+        obs_dim: int,
+        act_dim: int,
+        *,
+        cost_limit: float | list = 10.0,
+        num_costs: int = 1,
+        hidden_sizes=(128, 128),
+        actor_lr: float = 5e-4,
+        critic_lr: float = 1e-3,
+        alpha: float = 0.005,         # fixed alpha OR init when auto
+        auto_alpha: bool = True,
+        alpha_lr: float = 3e-4,
+        tau: float = 0.05,
+        n_step: int = 2,
+        use_lagrangian: bool = True,
+        lagrangian_pid=(0.05, 0.0005, 0.1),
+        rescaling: bool = True,
+        gamma: float = 0.99,
+        max_action: float = 1.0,
+        batch_size: int = 256,
+        deterministic_eval: bool = False,   # reference default (sac_lag_agent.py:102)
+    ):
+        self.obs_dim, self.act_dim = obs_dim, act_dim
+        self.num_costs = num_costs
+        self.K = 1 + num_costs
+        cl = [cost_limit] * num_costs if jnp.isscalar(cost_limit) else list(cost_limit)
+        self.cost_limit = jnp.asarray(cl, jnp.float32)
+        self.hp = dict(
+            tau=tau, n_step=n_step, use_lagrangian=use_lagrangian,
+            pid=tuple(lagrangian_pid), rescaling=rescaling, gamma=gamma,
+            batch_size=batch_size, auto_alpha=auto_alpha,
+            target_entropy=-float(act_dim),
+        )
+        self.fixed_alpha = float(alpha)
+        self.deterministic_eval = deterministic_eval
+        # conditioned_sigma + unbounded — the SAC recipe (sac_lag_agent.py:126-135)
+        self.actor = GaussianActor(
+            act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
+            unbounded=True, conditioned_sigma=True,
+        )
+        self.critics = QCriticEnsemble(num_metrics=self.K, num_q=2,
+                                       hidden_sizes=hidden_sizes)
+        self.actor_tx = make_optimizer(actor_lr)
+        self.critic_tx = make_optimizer(critic_lr)
+        self.alpha_tx = optax.adam(alpha_lr)
+
+    def init(self, rng: Array) -> SACLagState:
+        ka, kc = jax.random.split(rng)
+        obs = jnp.zeros((1, self.obs_dim))
+        act = jnp.zeros((1, self.act_dim))
+        params = {"actor": self.actor.init(ka, obs),
+                  "critics": self.critics.init(kc, obs, act)}
+        log_alpha = jnp.asarray(jnp.log(self.fixed_alpha)
+                                if not self.hp["auto_alpha"] else 0.0)
+        return SACLagState(
+            params=params,
+            target_critic_params=jax.tree.map(lambda x: x, params["critics"]),
+            actor_opt_state=self.actor_tx.init(params["actor"]),
+            critic_opt_state=self.critic_tx.init(params["critics"]),
+            log_alpha=log_alpha,
+            alpha_opt_state=self.alpha_tx.init(log_alpha),
+            lag=PIDLagrangianState.init(self.num_costs),
+            last_ep_cost=jnp.zeros((self.num_costs,)),
+            update_count=jnp.zeros((), jnp.int32),
+            gradient_steps=jnp.zeros((), jnp.int32),
+        )
+
+    def _dist(self, actor_params, obs: Array) -> TanhGaussian:
+        d = self.actor.apply(actor_params, obs)
+        return TanhGaussian(mean=d.mean, std=d.std)
+
+    def act_fn(self, params, obs: Array, rng: Array):
+        dist = self._dist(params["actor"], obs)
+        act, logp = dist.sample_and_log_prob(rng)
+        return act, logp
+
+    def act_fn_eval(self, params, obs: Array, rng: Array):
+        dist = self._dist(params["actor"], obs)
+        if self.deterministic_eval:
+            return dist.mode(), jnp.zeros(obs.shape[:-1])
+        act, logp = dist.sample_and_log_prob(rng)
+        return act, logp
+
+    # ------------------------------------------------------------------
+    def update_lagrangian(self, state: SACLagState, ep_cost_mean: Array,
+                          n_episodes: Array) -> SACLagState:
+        cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
+        if self.hp["use_lagrangian"]:
+            kp, ki, kd = self.hp["pid"]
+            lag = pid_step(state.lag, cost_in, self.cost_limit, kp, ki, kd)
+        else:
+            lag = state.lag
+        return state.replace(lag=lag, last_ep_cost=cost_in)
+
+    def update_step(self, state: SACLagState, buffer: ReplayBuffer,
+                    buf_state: ReplayBufferState, rng: Array
+                    ) -> tuple[SACLagState, dict[str, Array]]:
+        hp = self.hp
+        rng_t, rng_a = jax.random.split(rng)
+        alpha = jnp.exp(state.log_alpha)
+
+        def target_q_fn(term_batch):
+            dist = self._dist(state.params["actor"], term_batch.obs_next)
+            a, logp = dist.sample_and_log_prob(rng_t)
+            q = self.critics.apply(state.target_critic_params,
+                                   term_batch.obs_next, a)     # (B, K, 2)
+            minq = jnp.min(q, axis=-1)                          # (B, K)
+            return minq - alpha * logp[:, None]
+
+        batch, rets = sample_nstep_batch(
+            buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
+            target_q_fn,
+        )
+
+        # ---- critics (both heads vs same target) ----
+        def closs(cp):
+            q = self.critics.apply(cp, batch.obs, batch.act)    # (B, K, 2)
+            td = q - rets[..., None]
+            return jnp.sum(jnp.mean(td ** 2, axis=0))
+
+        cl, cgrads = jax.value_and_grad(closs)(state.params["critics"])
+        cupd, copt = self.critic_tx.update(cgrads, state.critic_opt_state,
+                                           state.params["critics"])
+        critics_new = optax.apply_updates(state.params["critics"], cupd)
+
+        # ---- actor ----
+        lam_mult = state.lag.multiplier
+        resc = rescaling_factor(lam_mult, hp["rescaling"]) if hp["use_lagrangian"] \
+            else jnp.ones(())
+
+        def aloss(ap):
+            dist = self._dist(ap, batch.obs)
+            a, logp = dist.sample_and_log_prob(rng_a)
+            q = jnp.min(self.critics.apply(critics_new, batch.obs, a), axis=-1)
+            loss_rew = jnp.mean(alpha * logp - q[:, 0])
+            loss_safety = jnp.sum(lam_mult * jnp.mean(q[:, 1:], axis=0)) \
+                if hp["use_lagrangian"] else 0.0
+            return resc * (loss_rew + loss_safety), (loss_rew, logp)
+
+        (al, (loss_rew, logp)), agrads = jax.value_and_grad(
+            aloss, has_aux=True)(state.params["actor"])
+        aupd, aopt = self.actor_tx.update(agrads, state.actor_opt_state,
+                                          state.params["actor"])
+        actor_new = optax.apply_updates(state.params["actor"], aupd)
+
+        # ---- auto alpha ----
+        log_alpha, alpha_opt = state.log_alpha, state.alpha_opt_state
+        alpha_loss = jnp.zeros(())
+        if hp["auto_alpha"]:
+            logp_d = jax.lax.stop_gradient(logp) + hp["target_entropy"]
+
+            def al_loss(la):
+                return -jnp.mean(la * logp_d)
+
+            alpha_loss, agrad = jax.value_and_grad(al_loss)(log_alpha)
+            aupd2, alpha_opt = self.alpha_tx.update(agrad, alpha_opt, log_alpha)
+            log_alpha = optax.apply_updates(log_alpha, aupd2)
+
+        target_critic = soft_update(state.target_critic_params, critics_new,
+                                    hp["tau"])
+
+        metrics = {"loss/q_total": cl, "loss/actor_total": al,
+                   "loss/actor_rew": loss_rew, "loss/alpha_value": jnp.exp(log_alpha),
+                   "loss/alpha_loss": alpha_loss, "loss/rescaling": resc}
+        for i in range(self.num_costs):
+            metrics[f"loss/lagrangian{'' if i == 0 else '_' + str(i)}"] = lam_mult[i]
+
+        return state.replace(
+            params={"actor": actor_new, "critics": critics_new},
+            target_critic_params=target_critic,
+            actor_opt_state=aopt, critic_opt_state=copt,
+            log_alpha=log_alpha, alpha_opt_state=alpha_opt,
+            update_count=state.update_count + 1,
+            gradient_steps=state.gradient_steps + 1,
+        ), metrics
