@@ -1,0 +1,291 @@
+"""Trainer layer: epoch-driven training loops (reference L3, ``fsrl/trainer/``).
+
+Structure mirrors the reference ``BaseTrainer``/``OnpolicyTrainer``/
+``OffpolicyTrainer`` semantics — epoch iterator, collect→update inner loop until
+``step_per_epoch``, periodic test, feasibility-first best-checkpoint rule,
+``stop_fn`` early stop, speed counters (``base_trainer.py:177-356``) — but the
+whole collect+update inner step is ONE jitted XLA program (rollout scan + policy
+update fused), and the host loop only orchestrates epochs, logging and
+checkpoints.
+
+Multi-chip: pass a ``jax.sharding.Mesh``; env state is sharded across the
+``dp`` axis, params replicated, and GSPMD inserts the gradient/stat all-reduces
+(see ``fsrl_tpu/parallel/mesh.py``).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fsrl_tpu.data.buffer import ReplayBuffer
+from fsrl_tpu.data.collector import evaluate, make_rollout_fn
+from fsrl_tpu.envs.base import SafeEnv
+from fsrl_tpu.parallel.mesh import make_mesh, replicate_tree, shard_env_state
+from fsrl_tpu.types import EpisodeStats
+from fsrl_tpu.utils.checkpoint import save_checkpoint
+from fsrl_tpu.utils.logger import BaseLogger, DummyLogger
+
+
+def decache(tree):
+    """Force every leaf onto its own buffer. jit constant-folding dedupes
+    identical zero arrays, so freshly-initialized pytrees can alias leaves
+    (e.g. the PID state's three zero vectors) — fatal with donate_argnums
+    ("attempt to donate the same buffer twice")."""
+    return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+
+def perf_is_better(new_rew, new_cost, old_rew, old_cost, cost_limit) -> bool:
+    """Feasibility-first comparison (reference ``base_trainer.py:247-262``):
+    a feasible policy (cost <= limit) beats any infeasible one; within the same
+    feasibility class higher reward wins."""
+    new_feas, old_feas = new_cost <= cost_limit, old_cost <= cost_limit
+    if new_feas and not old_feas:
+        return True
+    if old_feas and not new_feas:
+        return False
+    return new_rew > old_rew
+
+
+class BaseTrainerTPU:
+    def __init__(
+        self,
+        algo,
+        env: SafeEnv,
+        logger: Optional[BaseLogger] = None,
+        *,
+        epochs: int = 100,
+        step_per_epoch: int = 10000,
+        n_envs: int = 20,
+        steps_per_collect: int = 125,
+        episode_per_test: int = 10,
+        cost_limit: float = 10.0,
+        save_model_interval: int = 1,
+        stop_fn: Optional[Callable[[float, float], bool]] = None,
+        mesh=None,
+        use_default_mesh: bool = False,
+        seed: int = 0,
+        verbose: bool = True,
+    ):
+        self.algo, self.env = algo, env
+        self.logger = logger or DummyLogger()
+        self.epochs, self.step_per_epoch = epochs, step_per_epoch
+        self.n_envs, self.T = n_envs, steps_per_collect
+        self.episode_per_test = episode_per_test
+        self.cost_limit = cost_limit
+        self.save_model_interval = save_model_interval
+        self.stop_fn = stop_fn
+        self.verbose = verbose
+        self.mesh = mesh or (make_mesh() if use_default_mesh else None)
+
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, k_init, k_env = jax.random.split(self.rng, 3)
+        self.state = decache(algo.init(k_init))
+        self.env_state = decache(env.reset_vec(k_env, n_envs))
+        self.stats = decache(EpisodeStats.init(n_envs, env.num_costs))
+        if self.mesh is not None:
+            self.env_state = shard_env_state(self.mesh, self.env_state)
+            self.state = replicate_tree(self.mesh, self.state)
+            self.stats = shard_env_state(self.mesh, self.stats)
+
+        self.epoch = 0
+        self.env_step = 0
+        self.best_rew, self.best_cost = -np.inf, np.inf
+        self.has_best = False
+        self.start_time = time.time()
+        self.collect_time = 0.0
+        self.test_fn = jax.jit(
+            lambda params, rng: evaluate(env, algo.act_fn_eval, params, rng,
+                                         episode_per_test))
+        self._build()  # subclass: builds self.train_iter
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        raise NotImplementedError
+
+    def _params(self):
+        return self.state.params
+
+    # ------------------------------------------------------------------
+    def test_step(self) -> tuple[float, float, float]:
+        self.rng, k = jax.random.split(self.rng)
+        out = self.test_fn(self._params(), k)
+        rew = float(out["reward"]); cost = float(out["cost"])
+        length = float(out["length"])
+        self.logger.store(tab="test", reward=rew, cost=cost, length=length)
+        return rew, cost, length
+
+    def checkpoint(self):
+        if self.logger.log_dir:
+            save_checkpoint(
+                osp.join(self.logger.log_dir, "checkpoint", "model"), self.state)
+
+    def checkpoint_best(self):
+        if self.logger.log_dir:
+            save_checkpoint(
+                osp.join(self.logger.log_dir, "checkpoint", "model_best"),
+                self.state)
+
+    # ------------------------------------------------------------------
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.epoch >= self.epochs:
+            raise StopIteration
+        self.epoch += 1
+        t0 = time.time()
+        steps_this_epoch = 0
+        while steps_this_epoch < self.step_per_epoch:
+            metrics = self._run_iter()
+            steps_this_epoch += self.T * self.n_envs
+            self.env_step += self.T * self.n_envs
+        self.collect_time += time.time() - t0
+
+        rew, cost, length = self.test_step()
+        if perf_is_better(rew, cost, self.best_rew, self.best_cost,
+                          self.cost_limit) or not self.has_best:
+            self.best_rew, self.best_cost = rew, cost
+            self.has_best = True
+            self.checkpoint_best()
+        if self.epoch % self.save_model_interval == 0:
+            self.checkpoint()
+
+        dur = time.time() - self.start_time
+        speed = self.env_step / max(dur, 1e-9)
+        self.logger.store(tab="update", env_step=self.env_step, speed=speed,
+                          duration=dur)
+        info = dict(epoch=self.epoch, env_step=self.env_step,
+                    best_reward=self.best_rew, best_cost=self.best_cost,
+                    speed=speed)
+        epoch_stats = dict(self.logger.stats_mean())
+        self.logger.write(self.env_step, display=self.verbose)
+
+        stop = bool(self.stop_fn and self.stop_fn(self.best_rew, self.best_cost))
+        if stop:
+            self.epoch = self.epochs  # exhaust
+        return self.epoch, epoch_stats, info
+
+    def run(self) -> dict:
+        info = {}
+        for _, _, info in self:
+            pass
+        return info
+
+    # shared metric push
+    def _log_train(self, stats: EpisodeStats, metrics: dict):
+        n_ep = int(stats.n_episodes)
+        if n_ep > 0:
+            self.logger.store(
+                tab="train",
+                reward=float(stats.mean_reward),
+                cost=float(jnp.sum(stats.mean_cost)),
+                length=float(stats.mean_length),
+                num_episodes=n_ep,
+            )
+        for k, v in metrics.items():
+            try:
+                val = float(v)
+            except (TypeError, ValueError):
+                continue
+            if "/" in k:
+                tab, name = k.split("/", 1)
+                self.logger.store(tab=tab, **{name: val})
+            else:
+                self.logger.store(**{k: val})
+
+
+class OnpolicyTrainerTPU(BaseTrainerTPU):
+    """collect segment → PID pre-update → whole-segment policy update →
+    (implicit) buffer reset: the reference on-policy schedule
+    (``fsrl/trainer/onpolicy.py:92-110``) with the collect+update fused in jit."""
+
+    def _build(self):
+        rollout = make_rollout_fn(self.env, self.algo.act_fn, self.T)
+        algo = self.algo
+
+        def train_iter(state, env_state, stats, rng):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            res = rollout(state.params, env_state, stats.reset_aggregates(), k1)
+            state, metrics = algo.update(
+                state, res.transitions, res.stats.mean_cost,
+                res.stats.n_episodes, k2)
+            return state, res.env_state, res.stats, rng, metrics
+
+        self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2))
+
+    def _run_iter(self):
+        self.state, self.env_state, self.stats, self.rng, metrics = \
+            self.train_iter(self.state, self.env_state, self.stats, self.rng)
+        self._log_train(self.stats, metrics)
+        return metrics
+
+
+class OffpolicyTrainerTPU(BaseTrainerTPU):
+    """collect segment → PID pre-update → ``round(update_per_step * steps)``
+    sampled-minibatch gradient steps against the persistent ring buffer
+    (``fsrl/trainer/offpolicy.py:93-106``)."""
+
+    def __init__(self, *args, buffer_size: int = 100000,
+                 update_per_step: float = 0.2, **kwargs):
+        self.buffer_size = buffer_size
+        self.update_per_step = update_per_step
+        super().__init__(*args, **kwargs)
+
+    def _build(self):
+        env, algo = self.env, self.algo
+        self.buffer = ReplayBuffer(
+            capacity_per_env=max(self.buffer_size // self.n_envs, self.T),
+            n_envs=self.n_envs)
+        self.buf_state = decache(self.buffer.init(
+            env.observation_size, env.action_size, env.num_costs))
+        if self.mesh is not None:
+            # buffer rows live with their env's shard: axis 1 = env axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            def place(x):
+                spec = P(*( [None, "dp"] + [None] * (x.ndim - 2)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+            self.buf_state = self.buf_state.replace(
+                data=jax.tree.map(place, self.buf_state.data))
+        self.n_updates = max(1, int(round(
+            self.update_per_step * self.T * self.n_envs)))
+        rollout = make_rollout_fn(env, algo.act_fn, self.T)
+        buffer = self.buffer
+        n_updates = self.n_updates
+        has_pre = hasattr(algo, "pre_update")        # CVPO-style hooks
+        has_lag = hasattr(algo, "update_lagrangian")
+
+        def train_iter(state, env_state, stats, buf_state, rng):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            res = rollout(state.params, env_state, stats.reset_aggregates(), k1)
+            buf_state = buffer.add_segment(buf_state, res.transitions)
+            if has_lag:
+                state = algo.update_lagrangian(
+                    state, res.stats.mean_cost, res.stats.n_episodes)
+            if has_pre:
+                state = algo.pre_update(state)
+
+            def upd(s, key):
+                s, m = algo.update_step(s, buffer, buf_state, key)
+                return s, m
+
+            state, ms = jax.lax.scan(upd, state,
+                                     jax.random.split(k2, n_updates))
+            if hasattr(algo, "post_update"):
+                state = algo.post_update(state)
+            metrics = jax.tree.map(lambda x: x[-1], ms)
+            return state, res.env_state, res.stats, buf_state, rng, metrics
+
+        self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2, 3))
+
+    def _run_iter(self):
+        (self.state, self.env_state, self.stats, self.buf_state, self.rng,
+         metrics) = self.train_iter(self.state, self.env_state, self.stats,
+                                    self.buf_state, self.rng)
+        self._log_train(self.stats, metrics)
+        return metrics
