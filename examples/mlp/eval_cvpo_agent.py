@@ -1,0 +1,16 @@
+"""Evaluate a trained CVPO run directory (reference
+``examples/mlp/eval_cvpo_agent.py``)."""
+
+import argparse
+
+from fsrl_tpu.agent import CVPOAgent
+
+from common import run_eval
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--path", type=str, required=True)
+    p.add_argument("--best", action="store_true", default=True)
+    p.add_argument("--eval_episodes", type=int, default=10)
+    a = p.parse_args()
+    run_eval(a.path, CVPOAgent, best=a.best, n_episodes=a.eval_episodes)

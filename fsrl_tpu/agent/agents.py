@@ -46,7 +46,13 @@ class BaseAgentTPU:
         self.state = self.algo.init(jax.random.PRNGKey(seed))
         self.trainer = None
 
+    # algorithms that support M>1 constraints (CPO/FOCOPS are single-constraint
+    # in the reference too — cpo.py uses advs[..., 1] only)
+    multi_constraint = True
+
     def _build_algo(self, cost_limit, **kw):
+        if self.multi_constraint:
+            kw.setdefault("num_costs", self.env.num_costs)
         return self.algo_cls(self.env.observation_size, self.env.action_size,
                              cost_limit=cost_limit, **kw)
 
@@ -67,7 +73,8 @@ class BaseAgentTPU:
     ) -> dict:
         stop_fn = None
         if reward_threshold is not None:
-            limit = self.cost_limit
+            import numpy as _np
+            limit = float(_np.sum(self.cost_limit))
             stop_fn = lambda rew, cost: rew > reward_threshold and cost < limit
         common = dict(
             epochs=epochs, step_per_epoch=step_per_epoch, n_envs=n_envs,
@@ -123,6 +130,7 @@ class CPOAgent(BaseAgentTPU):
     name = "CPOAgent"
     algo_cls = CPO
     onpolicy = True
+    multi_constraint = False
 
 
 class FOCOPSAgent(BaseAgentTPU):
@@ -130,6 +138,7 @@ class FOCOPSAgent(BaseAgentTPU):
     name = "FOCOPSAgent"
     algo_cls = FOCOPS
     onpolicy = True
+    multi_constraint = False
 
 
 class DDPGLagAgent(BaseAgentTPU):
@@ -158,5 +167,6 @@ class CVPOAgent(BaseAgentTPU):
 
     def _build_algo(self, cost_limit, **kw):
         kw.setdefault("max_episode_steps", self.env.max_episode_steps)
+        kw.setdefault("num_costs", self.env.num_costs)
         return CVPO(self.env.observation_size, self.env.action_size,
                     cost_limit=cost_limit, **kw)

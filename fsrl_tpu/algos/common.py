@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from fsrl_tpu.ops.gae import gae_advantages
+from fsrl_tpu.ops.gae import gae_advantages, gae_advantages_pscan
 from fsrl_tpu.types import Transition
 
 Array = jax.Array
@@ -46,6 +46,7 @@ def process_rollout(
     tr: Transition,
     gamma: float,
     lam: float,
+    gae_impl: str = "pscan",   # "pscan" (log-depth associative scan) | "scan"
 ) -> OnPolicyBatch:
     """GAE over the rollout segment.
 
@@ -61,7 +62,8 @@ def process_rollout(
     mask = jnp.logical_not(tr.terminated).astype(values.dtype)[..., None]
     values_next = values_next * mask
     end_flag = jnp.logical_or(tr.terminated, tr.truncated)
-    adv, ret = gae_advantages(m, values, values_next, end_flag, gamma, lam)
+    gae_fn = gae_advantages_pscan if gae_impl == "pscan" else gae_advantages
+    adv, ret = gae_fn(m, values, values_next, end_flag, gamma, lam)
 
     flat = lambda x: x.reshape((T * N,) + x.shape[2:])
     return OnPolicyBatch(

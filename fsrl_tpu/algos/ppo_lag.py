@@ -138,13 +138,15 @@ class PPOLag:
         ep_cost_mean: Array,       # (M,) mean episodic cost of this collect
         n_episodes: Array,         # () int — episodes completed in this collect
         rng: Array,
+        cost_limit: Array | None = None,   # runtime override (update_cost_limit)
     ) -> tuple[PPOLagState, dict[str, Array]]:
         hp = self.hp
         # --- PID multiplier from fresh on-policy episodic cost ---
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
+        limit = self.cost_limit if cost_limit is None else cost_limit
         if hp["use_lagrangian"]:
             kp, ki, kd = hp["pid"]
-            lag = pid_step(state.lag, cost_in, self.cost_limit, kp, ki, kd)
+            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
         else:
             lag = state.lag
 

@@ -195,12 +195,14 @@ class TRPOLag:
         ep_cost_mean: Array,
         n_episodes: Array,
         rng: Array,
+        cost_limit: Array | None = None,
     ) -> tuple[TRPOLagState, dict[str, Array]]:
         hp = self.hp
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
+        limit = self.cost_limit if cost_limit is None else cost_limit
         if hp["use_lagrangian"]:
             kp, ki, kd = hp["pid"]
-            lag = pid_step(state.lag, cost_in, self.cost_limit, kp, ki, kd)
+            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
         else:
             lag = state.lag
         lam_mult = lag.multiplier

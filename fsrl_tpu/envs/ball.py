@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from fsrl_tpu.envs.base import SafeEnv, register
-from fsrl_tpu.envs.tasks import CircleTask, RunTask
+from fsrl_tpu.envs.tasks import CircleBoundSpeedTask, CircleTask, RunTask
 
 Array = jax.Array
 
@@ -30,11 +30,12 @@ class BallEnv(SafeEnv):
 
     def __init__(self, task):
         self.task = task
+        self.num_costs = getattr(task, "num_costs", 1)
         self.observation_size = 4 + task.obs_extras(jnp.zeros(2), jnp.zeros(2)).shape[0]
 
     def _init_sim(self, rng: Array) -> BallSim:
         k1, k2 = jax.random.split(rng)
-        if isinstance(self.task, CircleTask):
+        if isinstance(self.task, (CircleTask, CircleBoundSpeedTask)):
             # spawn near the circle with small noise
             theta = jax.random.uniform(k1, (), minval=0, maxval=2 * jnp.pi)
             r = self.task.radius + jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
@@ -64,3 +65,6 @@ class BallEnv(SafeEnv):
 
 register("SafetyBallRun-v0", lambda **kw: BallEnv(RunTask(**kw)))
 register("SafetyBallCircle-v0", lambda **kw: BallEnv(CircleTask(**kw)))
+# two-constraint variant (position band + speed limit as separate channels)
+register("SafetyBallCircle2C-v0",
+         lambda **kw: BallEnv(CircleBoundSpeedTask(**kw)))

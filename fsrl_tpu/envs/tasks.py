@@ -68,3 +68,37 @@ class CircleTask:
             (dist - self.radius) / self.radius,
             (self.x_lim - jnp.abs(pos[0])) / self.radius,
         ])
+
+
+@dataclass(frozen=True)
+class CircleBoundSpeedTask:
+    """Two-constraint Circle variant: cost channel 0 = position band
+    (|x| > x_lim), channel 1 = speed limit — exercises the reference's
+    multi-constraint path (M critics + M multipliers,
+    ``lagrangian_base.py:85-96``) with a real vector cost signal."""
+
+    radius: float = 7.0
+    x_lim: float = 4.0
+    speed_limit: float = 6.0
+    num_costs: int = 2
+
+    def reward_cost(self, pos, vel):
+        x, y = pos[0], pos[1]
+        dist = jnp.sqrt(x * x + y * y)
+        reward = (-y * vel[0] + x * vel[1]) / (
+            self.radius * (1.0 + jnp.abs(dist - self.radius))
+        )
+        cost_pos = (jnp.abs(x) > self.x_lim).astype(jnp.float32)
+        cost_speed = (jnp.linalg.norm(vel) > self.speed_limit).astype(jnp.float32)
+        return reward, jnp.stack([cost_pos, cost_speed])
+
+    def obs_extras(self, pos, vel):
+        dist = jnp.linalg.norm(pos[:2])
+        speed = jnp.linalg.norm(vel)
+        return jnp.array([
+            pos[0] / self.radius,
+            pos[1] / self.radius,
+            (dist - self.radius) / self.radius,
+            (self.x_lim - jnp.abs(pos[0])) / self.radius,
+            (self.speed_limit - speed) / self.speed_limit,
+        ])

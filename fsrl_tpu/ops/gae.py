@@ -42,6 +42,39 @@ def gae_advantages(
     return adv, adv + values
 
 
+def gae_advantages_pscan(
+    metrics: Array,
+    values: Array,
+    values_next: Array,
+    end_flag: Array,
+    gamma: float,
+    lam: float,
+) -> tuple[Array, Array]:
+    """Parallel-scan GAE: identical recurrence to :func:`gae_advantages` but as
+    a log-depth ``lax.associative_scan`` over the linear recurrence
+
+        adv_t = delta_t + disc_t * adv_{t+1}   (first-order, a=disc, b=delta)
+
+    On TPU the sequential scan issues T dependent (N*K)-wide VPU ops; the
+    associative form runs ~log2(T) sweeps over the whole (T, N, K) block,
+    keeping the VPU lanes full — the standard linear-recurrence trick from the
+    scaling playbook. Bit-exactness: floating-point associativity differs
+    slightly from the sequential order (~1e-6 relative).
+    """
+    delta = metrics + gamma * values_next - values
+    disc = (1.0 - end_flag.astype(delta.dtype))[..., None] * (gamma * lam)
+
+    def combine(right, left):
+        # scanning reversed arrays: cumulative op composes toward earlier t
+        a1, b1 = right
+        a2, b2 = left
+        return a1 * a2, b2 + a2 * b1
+
+    a, b = jax.lax.associative_scan(combine, (disc, delta), axis=0,
+                                    reverse=True)
+    return b, b + values
+
+
 def discounted_returns(
     metrics: Array,      # (T, N, K)
     end_flag: Array,     # (T, N)

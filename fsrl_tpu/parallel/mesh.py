@@ -48,9 +48,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_env_state(mesh: Mesh, env_state: Any, axis: str = DP_AXIS) -> Any:
     """Place a vectorized EnvState (leading axis = env instances) with the env
     axis split across devices."""
+    n_dev = mesh.shape[axis]
+
     def place(x):
-        # scalar leaves (e.g. EpisodeStats aggregates) are replicated
-        spec = P() if x.ndim == 0 else P(*([axis] + [None] * (x.ndim - 1)))
+        # shard only leaves whose leading axis is the (divisible) env axis;
+        # scalars and small aggregate vectors (e.g. EpisodeStats.sum_cost of
+        # shape (M,)) are replicated
+        if x.ndim >= 1 and x.shape[0] % n_dev == 0 and x.shape[0] >= n_dev:
+            spec = P(*([axis] + [None] * (x.ndim - 1)))
+        else:
+            spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, env_state)

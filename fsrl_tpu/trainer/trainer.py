@@ -42,9 +42,16 @@ def decache(tree):
 
 def perf_is_better(new_rew, new_cost, old_rew, old_cost, cost_limit) -> bool:
     """Feasibility-first comparison (reference ``base_trainer.py:247-262``):
-    a feasible policy (cost <= limit) beats any infeasible one; within the same
-    feasibility class higher reward wins."""
-    new_feas, old_feas = new_cost <= cost_limit, old_cost <= cost_limit
+    a feasible policy (every cost <= its limit) beats any infeasible one;
+    within the same feasibility class higher reward wins. ``cost_limit`` may be
+    a scalar or per-constraint list; scalar costs compare against the sum."""
+    limit = np.atleast_1d(np.asarray(cost_limit, dtype=float))
+    def feasible(c):
+        c = np.atleast_1d(np.asarray(c, dtype=float))
+        if c.shape != limit.shape:
+            return float(np.sum(c)) <= float(np.sum(limit))
+        return bool(np.all(c <= limit))
+    new_feas, old_feas = feasible(new_cost), feasible(old_cost)
     if new_feas and not old_feas:
         return True
     if old_feas and not new_feas:

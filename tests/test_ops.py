@@ -160,3 +160,21 @@ def test_running_mean_std_welford():
         rms = rms.update(jnp.asarray(chunk))
     np.testing.assert_allclose(np.asarray(rms.mean), data.mean(0), atol=1e-3)
     np.testing.assert_allclose(np.asarray(rms.var), data.var(0), rtol=1e-3)
+
+
+def test_gae_pscan_matches_sequential():
+    from fsrl_tpu.ops.gae import gae_advantages_pscan
+    rng = np.random.RandomState(5)
+    T, N, K = 64, 4, 2
+    m = rng.randn(T, N, K).astype(np.float32)
+    v = rng.randn(T, N, K).astype(np.float32)
+    vn = rng.randn(T, N, K).astype(np.float32)
+    end = rng.rand(T, N) < 0.1
+    a1, r1 = gae_advantages(jnp.asarray(m), jnp.asarray(v), jnp.asarray(vn),
+                            jnp.asarray(end), 0.99, 0.95)
+    a2, r2 = gae_advantages_pscan(jnp.asarray(m), jnp.asarray(v),
+                                  jnp.asarray(vn), jnp.asarray(end), 0.99, 0.95)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=2e-5,
+                               atol=2e-5)

@@ -1,0 +1,84 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh: the multi-chip
+train step compiles and executes with real shardings, and data-parallel
+training is numerically equivalent to single-device training (same global
+batch, replicated params)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fsrl_tpu.algos.ppo_lag import PPOLag
+from fsrl_tpu.data.collector import make_rollout_fn
+from fsrl_tpu.envs import make
+from fsrl_tpu.parallel.mesh import make_mesh, replicate_tree, shard_env_state
+from fsrl_tpu.types import EpisodeStats
+
+
+def _setup(N, T):
+    env = make("SafetyBallRun-v0")
+    algo = PPOLag(env.observation_size, env.action_size, cost_limit=10.0,
+                  repeat=2, n_minibatches=2)
+    rollout = make_rollout_fn(env, algo.act_fn, T)
+
+    def train_step(state, env_state, stats, rng):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        res = rollout(state.params, env_state, stats.reset_aggregates(), k1)
+        state, metrics = algo.update(
+            state, res.transitions, res.stats.mean_cost,
+            res.stats.n_episodes, k2)
+        return state, res.env_state, res.stats, metrics
+
+    return env, algo, jax.jit(train_step)
+
+
+def test_dryrun_multichip_entrypoint(devices):
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_dp_matches_single_device(devices):
+    """Same seeds, same global batch: sharded-over-8-devices step must produce
+    (numerically close) identical params to the unsharded step."""
+    N, T = 8, 16
+    env, algo, train_step = _setup(N, T)
+    rng = jax.random.PRNGKey(0)
+    state0 = algo.init(rng)
+    env0 = env.reset_vec(jax.random.PRNGKey(1), N)
+    stats0 = EpisodeStats.init(N, 1)
+
+    # single device (default placement)
+    s1, _, _, m1 = train_step(state0, env0, stats0, jax.random.PRNGKey(2))
+
+    # sharded over the dp mesh
+    mesh = make_mesh(8)
+    s_sh = replicate_tree(mesh, state0)
+    e_sh = shard_env_state(mesh, env0)
+    st_sh = shard_env_state(mesh, stats0)
+    s2, _, _, m2 = train_step(s_sh, e_sh, st_sh, jax.random.PRNGKey(2))
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert np.allclose(float(m1["loss/total"]), float(m2["loss/total"]),
+                       rtol=1e-3)
+
+
+def test_global_episode_stats_under_sharding(devices):
+    """EpisodeStats aggregates must be GLOBAL across the sharded env axis —
+    the PID multiplier input correctness condition (SURVEY.md §8)."""
+    env = make("SafetyBallRun-v0")
+    N = 8
+    T = env.max_episode_steps + 2
+    mesh = make_mesh(8)
+    from fsrl_tpu.data.collector import make_rollout_fn
+
+    def act(params, obs, rng):
+        return jnp.zeros(obs.shape[:-1] + (env.action_size,)), \
+            jnp.zeros(obs.shape[:-1])
+
+    rollout = jax.jit(make_rollout_fn(env, act, T))
+    e_sh = shard_env_state(mesh, env.reset_vec(jax.random.PRNGKey(0), N))
+    st_sh = shard_env_state(mesh, EpisodeStats.init(N, 1))
+    res = rollout({}, e_sh, st_sh, jax.random.PRNGKey(1))
+    # every env truncates exactly once in T steps → global count == N
+    assert int(res.stats.n_episodes) == N
