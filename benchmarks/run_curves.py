@@ -1,0 +1,162 @@
+"""Learning-curve benchmark: run every algorithm on a task with a real cost
+limit and record reward/cost curves — the reproduction of the reference's
+benchmark protocol (3-seed curves, default configs,
+``docs/tutorials/benchmark.rst``) scaled to the available budget.
+
+Usage:
+    python benchmarks/run_curves.py --task SafetyBallRun-v0 --budget 500000 \
+        --algos ppol,trpol,cpo,focops --seeds 0,1,2 --outdir benchmarks/results
+
+Writes one JSON per (algo, seed) with per-epoch test reward/cost, plus a
+summary markdown table and (if matplotlib is present) curve PNGs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from fsrl_tpu.agent import (CPOAgent, CVPOAgent, DDPGLagAgent, FOCOPSAgent,
+                            PPOLagAgent, SACLagAgent, TRPOLagAgent)
+from fsrl_tpu.config.cli import cli
+
+AGENTS = {
+    "ppol": (PPOLagAgent, True, {}),
+    "trpol": (TRPOLagAgent, True, {"target_kl": 0.005}),
+    "cpo": (CPOAgent, True, {}),
+    "focops": (FOCOPSAgent, True, {}),
+    "ddpgl": (DDPGLagAgent, False, {}),
+    "sacl": (SACLagAgent, False, {}),
+    "cvpo": (CVPOAgent, False, {}),
+}
+
+
+@dataclass
+class CurveCfg:
+    task: str = "SafetyBallRun-v0"
+    cost_limit: float = 25.0
+    budget: int = 500000            # on-policy env-step budget
+    off_budget: int = 150000        # off-policy env-step budget
+    step_per_epoch: int = 10000
+    n_envs: int = 20
+    steps_per_collect: int = 500
+    off_n_envs: int = 8
+    off_steps_per_collect: int = 100
+    episode_per_test: int = 10
+    algos: str = "ppol,trpol,cpo,focops,ddpgl,sacl,cvpo"
+    seeds: str = "0"
+    outdir: str = "benchmarks/results"
+
+
+def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
+    agent_cls, onpolicy, kw = AGENTS[key]
+    budget = cfg.budget if onpolicy else cfg.off_budget
+    epochs = max(1, budget // cfg.step_per_epoch)
+    agent = agent_cls(cfg.task, cost_limit=cfg.cost_limit, seed=seed, **kw)
+    curve = {"env_step": [], "reward": [], "cost": []}
+    t0 = time.time()
+
+    common = dict(
+        epochs=epochs, step_per_epoch=cfg.step_per_epoch,
+        episode_per_test=cfg.episode_per_test, verbose=False,
+    )
+    if onpolicy:
+        common.update(n_envs=cfg.n_envs,
+                      steps_per_collect=cfg.steps_per_collect)
+    else:
+        common.update(n_envs=cfg.off_n_envs,
+                      steps_per_collect=cfg.off_steps_per_collect,
+                      update_per_step=0.2)
+
+    # iterate the trainer manually so each epoch's test stats are recorded
+    from fsrl_tpu.trainer.trainer import decache
+    agent.learn_kwargs = common
+    stop = None
+    agent.trainer = None
+    # reuse agent.learn wiring by constructing the trainer directly
+    from fsrl_tpu.trainer.trainer import (OffpolicyTrainerTPU,
+                                          OnpolicyTrainerTPU)
+    tcls = OnpolicyTrainerTPU if onpolicy else OffpolicyTrainerTPU
+    trainer = tcls(agent.algo, agent.env, agent.logger,
+                   cost_limit=cfg.cost_limit, seed=seed, stop_fn=stop,
+                   **common)
+    trainer.state = decache(agent.state)
+    for epoch, stats, info in trainer:
+        curve["env_step"].append(info["env_step"])
+        curve["reward"].append(info["test_reward"])
+        curve["cost"].append(info["test_cost"])
+    agent.state = trainer.state
+    wall = time.time() - t0
+    rew, length, cost = agent.evaluate(n_episodes=20, seed=seed + 1000)
+    return {
+        "algo": key, "task": cfg.task, "seed": seed,
+        "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
+        "steps_per_s": budget / wall,
+        "final_reward": rew, "final_cost": cost, "final_length": length,
+        "curve": curve,
+    }
+
+
+@cli(CurveCfg)
+def main(cfg: CurveCfg):
+    os.makedirs(cfg.outdir, exist_ok=True)
+    rows = []
+    for key in cfg.algos.split(","):
+        for seed in (int(s) for s in cfg.seeds.split(",")):
+            print(f"=== {key} seed {seed} on {cfg.task} ===", flush=True)
+            res = run_one(cfg, key, seed)
+            path = os.path.join(cfg.outdir, f"{cfg.task}-{key}-s{seed}.json")
+            with open(path, "w") as f:
+                json.dump(res, f)
+            rows.append(res)
+            print(f"    reward {res['final_reward']:8.1f}  "
+                  f"cost {res['final_cost']:6.1f} (limit {cfg.cost_limit})  "
+                  f"{res['steps_per_s']:,.0f} steps/s  {res['wall_s']:.0f}s",
+                  flush=True)
+
+    # summary markdown
+    md = [f"# Curves: {cfg.task} (cost_limit={cfg.cost_limit})", "",
+          "| algo | seed | budget | final reward | final cost | steps/s | wall |",
+          "|---|---|---|---|---|---|---|"]
+    for r in rows:
+        md.append(f"| {r['algo']} | {r['seed']} | {r['budget']:,} | "
+                  f"{r['final_reward']:.1f} | {r['final_cost']:.1f} | "
+                  f"{r['steps_per_s']:,.0f} | {r['wall_s']:.0f}s |")
+    with open(os.path.join(cfg.outdir, f"summary-{cfg.task}.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("\n".join(md))
+
+    try:
+        plot(rows, cfg)
+    except Exception as e:  # matplotlib optional
+        print("plotting skipped:", e)
+
+
+def plot(rows, cfg: CurveCfg):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    for r in rows:
+        c = r["curve"]
+        ax1.plot(c["env_step"], c["reward"], label=f"{r['algo']}-s{r['seed']}")
+        ax2.plot(c["env_step"], c["cost"], label=f"{r['algo']}-s{r['seed']}")
+    ax2.axhline(cfg.cost_limit, color="k", ls="--", lw=1, label="limit")
+    ax1.set_title(f"{cfg.task} reward")
+    ax2.set_title(f"{cfg.task} episodic cost")
+    for ax in (ax1, ax2):
+        ax.set_xlabel("env steps")
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    out = os.path.join(cfg.outdir, f"curves-{cfg.task}.png")
+    fig.savefig(out, dpi=120)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,10 +101,13 @@ class BaseAgentTPU:
         """Returns (mean reward, mean length, mean cost) — the reference eval
         triple (``base_agent.py:53-88``)."""
         st = state if state is not None else self.state
-        out = jax.jit(
-            lambda p, r: evaluate(self.env, self.algo.act_fn_eval, p, r,
-                                  n_episodes)
-        )(st.params, jax.random.PRNGKey(seed))
+        cache = getattr(self, "_eval_cache", {})
+        if n_episodes not in cache:
+            cache[n_episodes] = jax.jit(
+                lambda p, r: evaluate(self.env, self.algo.act_fn_eval, p, r,
+                                      n_episodes))
+            self._eval_cache = cache
+        out = cache[n_episodes](st.params, jax.random.PRNGKey(seed))
         return float(out["reward"]), float(out["length"]), float(out["cost"])
 
 

@@ -169,6 +169,7 @@ class BaseTrainerTPU:
                           duration=dur)
         info = dict(epoch=self.epoch, env_step=self.env_step,
                     best_reward=self.best_rew, best_cost=self.best_cost,
+                    test_reward=rew, test_cost=cost, test_length=length,
                     speed=speed)
         epoch_stats = dict(self.logger.stats_mean())
         self.logger.write(self.env_step, display=self.verbose)

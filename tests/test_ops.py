@@ -178,3 +178,24 @@ def test_gae_pscan_matches_sequential():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_gae_pallas_interpret_matches_sequential():
+    """Pallas kernel (interpret mode on CPU) vs the sequential reference."""
+    from fsrl_tpu.ops.gae import gae_advantages
+    from fsrl_tpu.ops.pallas_gae import gae_advantages_pallas
+    rng = np.random.RandomState(7)
+    T, N, K = 16, 5, 2   # B=10 → exercises lane padding
+    m = rng.randn(T, N, K).astype(np.float32)
+    v = rng.randn(T, N, K).astype(np.float32)
+    vn = rng.randn(T, N, K).astype(np.float32)
+    end = rng.rand(T, N) < 0.2
+    a1, r1 = gae_advantages(jnp.asarray(m), jnp.asarray(v), jnp.asarray(vn),
+                            jnp.asarray(end), 0.99, 0.95)
+    a2, r2 = gae_advantages_pallas(jnp.asarray(m), jnp.asarray(v),
+                                   jnp.asarray(vn), jnp.asarray(end),
+                                   0.99, 0.95, interpret=True)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6,
+                               atol=1e-6)
