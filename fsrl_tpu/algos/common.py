@@ -47,6 +47,7 @@ def process_rollout(
     gamma: float,
     lam: float,
     gae_impl: str = "pscan",   # "pscan" (log-depth associative scan) | "scan"
+    ret_rms=None,              # RunningMeanStd (K,) → reward normalization on
 ) -> OnPolicyBatch:
     """GAE over the rollout segment.
 
@@ -63,13 +64,26 @@ def process_rollout(
     values_next = values_next * mask
     end_flag = jnp.logical_or(tr.terminated, tr.truncated)
     gae_fn = gae_advantages_pscan if gae_impl == "pscan" else gae_advantages
-    adv, ret = gae_fn(m, values, values_next, end_flag, gamma, lam)
+
+    if ret_rms is not None:
+        # reward_normalization pipeline (reference base_policy.py:434-444):
+        # critics are trained on scale-normalized returns, so unscale their
+        # outputs for GAE, then re-normalize the new returns and update stats.
+        scale = jnp.sqrt(ret_rms.var + 1e-8)
+        adv, ret = gae_fn(m, values * scale, values_next * scale, end_flag,
+                          gamma, lam)
+        ret = ret / scale
+        new_rms = ret_rms.update(ret.reshape(T * N, -1))
+    else:
+        adv, ret = gae_fn(m, values, values_next, end_flag, gamma, lam)
+        new_rms = None
 
     flat = lambda x: x.reshape((T * N,) + x.shape[2:])
-    return OnPolicyBatch(
+    batch = OnPolicyBatch(
         obs=flat(tr.obs), act=flat(tr.act), logp_old=flat(tr.logp),
         adv=flat(adv), ret=flat(ret), value_old=flat(values),
     )
+    return (batch, new_rms) if ret_rms is not None else batch
 
 
 def normalize_adv(adv: Array, eps: float = 1e-8) -> Array:

@@ -40,6 +40,7 @@ class PPOLagState:
     opt_state: Any
     lag: PIDLagrangianState
     last_ep_cost: Array      # (M,) fallback PID input when a segment has no finished episode
+    ret_rms: Any             # RunningMeanStd (K,) — reward_normalization stats
     update_count: Array
     gradient_steps: Array
 
@@ -66,6 +67,7 @@ class PPOLag:
         dual_clip: float | None = None,
         value_clip: bool = False,
         advantage_normalization: bool = True,
+        reward_normalization: bool = False,
         use_lagrangian: bool = True,
         lagrangian_pid=(0.05, 0.0005, 0.1),
         rescaling: bool = True,
@@ -86,6 +88,7 @@ class PPOLag:
             lr=lr, target_kl=target_kl, vf_coef=vf_coef, max_grad_norm=max_grad_norm,
             gae_lambda=gae_lambda, eps_clip=eps_clip, dual_clip=dual_clip,
             value_clip=value_clip, norm_adv=advantage_normalization,
+            rew_norm=reward_normalization,
             use_lagrangian=use_lagrangian, pid=tuple(lagrangian_pid),
             rescaling=rescaling, gamma=gamma, repeat=repeat,
             n_minibatches=n_minibatches,
@@ -107,11 +110,13 @@ class PPOLag:
             "actor": self.actor.init(ka, obs),
             "critics": self.critics.init(kc, obs),
         }
+        from fsrl_tpu.ops.running_stats import RunningMeanStd
         return PPOLagState(
             params=params,
             opt_state=self.tx.init(params),
             lag=PIDLagrangianState.init(self.num_costs),
             last_ep_cost=jnp.zeros((self.num_costs,)),
+            ret_rms=RunningMeanStd.init((self.K,)),
             update_count=jnp.zeros((), jnp.int32),
             gradient_steps=jnp.zeros((), jnp.int32),
         )
@@ -150,10 +155,18 @@ class PPOLag:
         else:
             lag = state.lag
 
-        batch = process_rollout(
-            lambda p, o: self.critics.apply(p["critics"], o),
-            state.params, tr, hp["gamma"], hp["gae_lambda"],
-        )
+        if hp["rew_norm"]:
+            batch, ret_rms = process_rollout(
+                lambda p, o: self.critics.apply(p["critics"], o),
+                state.params, tr, hp["gamma"], hp["gae_lambda"],
+                ret_rms=state.ret_rms,
+            )
+        else:
+            batch = process_rollout(
+                lambda p, o: self.critics.apply(p["critics"], o),
+                state.params, tr, hp["gamma"], hp["gae_lambda"],
+            )
+            ret_rms = state.ret_rms
 
         lam_mult = lag.multiplier
         resc = rescaling_factor(lam_mult, hp["rescaling"]) if hp["use_lagrangian"] \
@@ -239,7 +252,7 @@ class PPOLag:
 
         new_state = PPOLagState(
             params=params, opt_state=opt_state, lag=lag,
-            last_ep_cost=cost_in,
+            last_ep_cost=cost_in, ret_rms=ret_rms,
             update_count=state.update_count + 1,
             gradient_steps=gsteps,
         )

@@ -116,3 +116,10 @@ def evaluate(
         "n_terminated": n_term,
         "reward_std": jnp.std(ep_r),
     }
+
+
+def map_action_inverse(act: Array, low: float, high: float) -> Array:
+    """Inverse of :func:`map_action` — env-space action back to the policy's
+    [-1, 1] range (reference ``BasePolicy.map_action_inverse``,
+    base_policy.py:258-283)."""
+    return jnp.clip(2.0 * (act - low) / (high - low) - 1.0, -1.0, 1.0)

@@ -1,5 +1,6 @@
 from fsrl_tpu.trainer.trainer import (BaseTrainerTPU, OffpolicyTrainerTPU,
-                                      OnpolicyTrainerTPU, perf_is_better)
+                                      OnpolicyTrainerTPU, offpolicy_trainer,
+                                      onpolicy_trainer, perf_is_better)
 
 __all__ = ["BaseTrainerTPU", "OnpolicyTrainerTPU", "OffpolicyTrainerTPU",
-           "perf_is_better"]
+           "onpolicy_trainer", "offpolicy_trainer", "perf_is_better"]

@@ -297,3 +297,13 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
                                     self.buf_state, self.rng)
         self._log_train(self.stats, metrics)
         return metrics
+
+
+def onpolicy_trainer(*args, **kwargs) -> dict:
+    """Functional wrapper (reference ``fsrl/trainer/onpolicy.py:113-120``)."""
+    return OnpolicyTrainerTPU(*args, **kwargs).run()
+
+
+def offpolicy_trainer(*args, **kwargs) -> dict:
+    """Functional wrapper (reference ``fsrl/trainer/offpolicy.py:109-116``)."""
+    return OffpolicyTrainerTPU(*args, **kwargs).run()
