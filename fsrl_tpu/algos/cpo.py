@@ -129,6 +129,7 @@ class CPO:
         ep_cost_mean: Array,
         n_episodes: Array,
         rng: Array,
+        cost_limit: Array | None = None,
     ) -> tuple[CPOState, dict[str, Array]]:
         hp = self.hp
         ave_cost = jnp.where(n_episodes > 0, ep_cost_mean,
@@ -174,7 +175,9 @@ class CPO:
         q = jnp.dot(fvp(H_inv_g), H_inv_g)
         r = jnp.dot(fvp(H_inv_g), H_inv_b)
         s = jnp.dot(fvp(H_inv_b), H_inv_b)
-        c_value = cost_surr0 - self.cost_limit
+        limit = self.cost_limit if cost_limit is None \
+            else jnp.squeeze(cost_limit)
+        c_value = cost_surr0 - limit
         delta = hp["target_kl"]
 
         # ---- 4-case dual solve (cpo.py:259-304) as branchless arithmetic ----

@@ -100,10 +100,10 @@ class CVPO:
         self.K = 1 + num_costs
         cl = [cost_limit] * num_costs if jnp.isscalar(cost_limit) else list(cost_limit)
         # per-step qc threshold (cvpo.py:128-133)
-        self.qc_thres = jnp.asarray([
-            c * (1 - gamma**max_episode_steps) / (1 - gamma) / max_episode_steps
-            for c in cl
-        ], jnp.float32)
+        self._qc_coeff = (1 - gamma**max_episode_steps) / (1 - gamma) \
+            / max_episode_steps
+        self.qc_thres = jnp.asarray([c * self._qc_coeff for c in cl],
+                                    jnp.float32)
         self.hp = dict(
             gamma=gamma, n_step=n_step, tau=tau,
             estep_iter_num=estep_iter_num, estep_kl=estep_kl,
@@ -172,9 +172,14 @@ class CVPO:
 
     # ------------------------------------------------------------------
     def update_step(self, state: CVPOState, buffer: ReplayBuffer,
-                    buf_state: ReplayBufferState, rng: Array
+                    buf_state: ReplayBufferState, rng: Array,
+                    cost_limit: Array | None = None
                     ) -> tuple[CVPOState, dict[str, Array]]:
         hp = self.hp
+        # runtime cost-limit override recomputes the per-step qc threshold
+        # (reference update_cost_limit, cvpo.py:165-176)
+        qc_thres = self.qc_thres if cost_limit is None \
+            else cost_limit * self._qc_coeff
         rng_t, rng_p = jax.random.split(rng)
 
         # ---- critics: n-step targets, current actor + old critics ----
@@ -220,7 +225,7 @@ class CVPO:
             eta = dual[0]
             lam = dual[1:]
             combined = q0 - jnp.einsum("m,bkm->bk", lam, qc)
-            loss = eta * hp["estep_kl"] + jnp.sum(lam * self.qc_thres)
+            loss = eta * hp["estep_kl"] + jnp.sum(lam * qc_thres)
             loss += eta * jnp.mean(
                 jax.scipy.special.logsumexp(combined / eta, axis=1)
                 - jnp.log(Kp))
@@ -299,7 +304,7 @@ class CVPO:
         }
         for i in range(self.num_costs):
             metrics[f"estep/lambda{i}"] = lam[i]
-            metrics[f"estep/thres_q{i + 1}"] = self.qc_thres[i]
+            metrics[f"estep/thres_q{i + 1}"] = qc_thres[i]
 
         return state.replace(
             params={"actor": actor_new, "critics": critics_new},

@@ -111,13 +111,15 @@ class DDPGLag:
 
     # ------------------------------------------------------------------
     def update_lagrangian(self, state: DDPGLagState, ep_cost_mean: Array,
-                          n_episodes: Array) -> DDPGLagState:
+                          n_episodes: Array,
+                          cost_limit: Array | None = None) -> DDPGLagState:
         """pre_update_fn: PID step from the fresh collect (once per collect,
         not per gradient step — reference offpolicy trainer semantics)."""
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         if self.hp["use_lagrangian"]:
             kp, ki, kd = self.hp["pid"]
-            lag = pid_step(state.lag, cost_in, self.cost_limit, kp, ki, kd)
+            limit = self.cost_limit if cost_limit is None else cost_limit
+            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
         else:
             lag = state.lag
         return state.replace(lag=lag, last_ep_cost=cost_in)

@@ -129,12 +129,15 @@ class FOCOPS:
         ep_cost_mean: Array,
         n_episodes: Array,
         rng: Array,
+        cost_limit: Array | None = None,
     ) -> tuple[FOCOPSState, dict[str, Array]]:
         hp = self.hp
         avg_cost = jnp.where(n_episodes > 0, ep_cost_mean,
                              state.last_ep_cost)[0]
+        limit = self.cost_limit if cost_limit is None \
+            else jnp.squeeze(cost_limit)
         # nu update (focops.py:155-160)
-        loss_nu = self.cost_limit - avg_cost
+        loss_nu = limit - avg_cost
         nu = jnp.clip(state.nu - hp["nu_lr"] * loss_nu, 0.0, hp["nu_max"])
 
         batch = process_rollout(

@@ -78,6 +78,7 @@ class BaseTrainerTPU:
         use_default_mesh: bool = False,
         seed: int = 0,
         verbose: bool = True,
+        resume_from: Optional[str] = None,
     ):
         self.algo, self.env = algo, env
         self.logger = logger or DummyLogger()
@@ -100,8 +101,17 @@ class BaseTrainerTPU:
             self.state = replicate_tree(self.mesh, self.state)
             self.stats = shard_env_state(self.mesh, self.stats)
 
+        if resume_from:
+            # restore the full TrainState + env-step counter (the reference's
+            # resume_from_log is an unfinished TODO, base_trainer.py:160-164;
+            # here the one-pytree state makes it trivial)
+            from fsrl_tpu.utils.checkpoint import load_checkpoint
+            self.state = load_checkpoint(resume_from, self.state)
+            _, env_step, _ = self.logger.restore_data()
+            self.env_step = env_step
         self.epoch = 0
-        self.env_step = 0
+        if not resume_from:
+            self.env_step = 0
         self.best_rew, self.best_cost = -np.inf, np.inf
         self.has_best = False
         self.start_time = time.time()

@@ -83,3 +83,64 @@ def test_task_presets():
     assert cfg.epochs * cfg.step_per_epoch == 1_000_000
     cfg2 = apply_task_preset(PPOLagCfg(task="SafetyCarCircle-v0"))
     assert cfg2.epochs == 200  # default 2M budget untouched
+
+
+def test_trainer_resume_from(tmp_path):
+    """resume_from restores the full TrainState into a fresh trainer."""
+    import os
+    from fsrl_tpu.agent import PPOLagAgent
+    from fsrl_tpu.trainer.trainer import OnpolicyTrainerTPU
+    from fsrl_tpu.utils.checkpoint import save_checkpoint
+
+    agent = PPOLagAgent("SafetyBallRun-v0", cost_limit=25.0, seed=0)
+    agent.learn(epochs=1, step_per_epoch=2000, n_envs=4,
+                steps_per_collect=250, episode_per_test=2, verbose=False)
+    ck = os.path.join(tmp_path, "ck")
+    save_checkpoint(ck, agent.state)
+    trained_count = int(agent.state.update_count)
+    assert trained_count > 0
+
+    t2 = OnpolicyTrainerTPU(agent.algo, agent.env, cost_limit=25.0, epochs=1,
+                            step_per_epoch=1000, n_envs=4,
+                            steps_per_collect=250, episode_per_test=2,
+                            verbose=False, resume_from=ck)
+    assert int(t2.state.update_count) == trained_count
+
+
+def test_runtime_cost_limit_override():
+    """Every algorithm accepts a runtime cost limit without retracing."""
+    import jax.numpy as jnp
+    from fsrl_tpu.algos import CPO, FOCOPS, PPOLag, TRPOLag
+    from fsrl_tpu.data.collector import make_rollout_fn
+    from fsrl_tpu.envs import make
+    from fsrl_tpu.types import EpisodeStats
+
+    env = make("SafetyBallRun-v0")
+    rollout = jax.jit(make_rollout_fn(
+        env, lambda p, o, r: (jax.random.uniform(r, o.shape[:-1] + (2,),
+                                                 minval=-1, maxval=1),
+                              jnp.zeros(o.shape[:-1])), 32))
+    res = rollout({}, env.reset_vec(jax.random.PRNGKey(0), 4),
+                  EpisodeStats.init(4, 1), jax.random.PRNGKey(1))
+    for cls in (PPOLag, TRPOLag, CPO, FOCOPS):
+        algo = cls(env.observation_size, env.action_size, cost_limit=10.0)
+        st0 = algo.init(jax.random.PRNGKey(0))
+        upd = jax.jit(algo.update)
+        outs = {}
+        for lim in (0.001, 10000.0):
+            arr = jnp.asarray([lim]) if cls is not CPO else jnp.asarray(lim)
+            st, m = upd(st0, res.transitions,
+                        jnp.asarray([5.0]),      # synthetic mean episodic cost
+                        jnp.asarray(1, jnp.int32), jax.random.PRNGKey(2),
+                        cost_limit=arr)
+            outs[lim] = (st, m)
+        if cls in (PPOLag, TRPOLag):
+            # tight limit must engage the multiplier; loose must not
+            assert float(outs[0.001][0].lag.multiplier[0]) > 0.0
+            assert float(outs[10000.0][0].lag.multiplier[0]) == 0.0
+        if cls is FOCOPS:
+            assert float(outs[0.001][0].nu) > float(outs[10000.0][0].nu)
+        if cls is CPO:
+            # infeasible under the tight limit (case<=1), feasible under loose
+            assert float(outs[0.001][1]["loss/optim_C"]) > 0
+            assert float(outs[10000.0][1]["loss/optim_C"]) < 0
