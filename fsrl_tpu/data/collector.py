@@ -45,28 +45,50 @@ class RolloutResult(NamedTuple):
     transitions: Transition      # time-major (T, N, ...)
 
 
-def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int):
+def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int,
+                    init_hidden=None):
     """Build ``rollout(params, env_state, stats, rng)`` collecting a
-    (num_steps, N_envs) segment. Pure and jittable; N is implied by env_state."""
+    (num_steps, N_envs) segment. Pure and jittable; N is implied by env_state.
 
-    def rollout(params, env_state: EnvState, stats: EpisodeStats, rng: Array
-                ) -> RolloutResult:
+    Recurrent policies: pass ``init_hidden(n_envs) -> carry pytree`` and an
+    ``act_fn(params, obs, hidden, rng) -> (act, logp, hidden')``; the hidden
+    state threads through the scan and resets per env on episode end — the
+    reference collector's RNN plumbing (``fast_collector.py:154-163, 255,
+    349-353``) without leaving the device."""
+
+    recurrent = init_hidden is not None
+
+    def rollout(params, env_state: EnvState, stats: EpisodeStats, rng: Array,
+                hidden=None) -> RolloutResult:
+        if recurrent and hidden is None:
+            hidden = init_hidden(env_state.obs.shape[0])
+
         def step(carry, _):
-            env_state, stats, rng = carry
+            env_state, stats, hidden, rng = carry
             rng, akey = jax.random.split(rng)
             obs = env_state.obs
-            act, logp = act_fn(params, obs, akey)
+            if recurrent:
+                act, logp, hidden = act_fn(params, obs, hidden, akey)
+            else:
+                act, logp = act_fn(params, obs, akey)
             env_act = map_action(act, env.action_low, env.action_high)
             env_state, ts = env.step_autoreset(env_state, env_act)
+            if recurrent:
+                # per-env hidden reset at episode boundaries
+                fresh = init_hidden(obs.shape[0])
+                done = ts.done
+                sel = lambda f, h: jnp.where(
+                    done.reshape(done.shape + (1,) * (h.ndim - 1)), f, h)
+                hidden = jax.tree.map(sel, fresh, hidden)
             stats = stats.update(ts)
             tr = Transition(
                 obs=obs, act=act, obs_next=ts.obs, reward=ts.reward, cost=ts.cost,
                 terminated=ts.terminated, truncated=ts.truncated, logp=logp,
             )
-            return (env_state, stats, rng), tr
+            return (env_state, stats, hidden, rng), tr
 
-        (env_state, stats, rng), transitions = jax.lax.scan(
-            step, (env_state, stats, rng), None, length=num_steps
+        (env_state, stats, hidden, rng), transitions = jax.lax.scan(
+            step, (env_state, stats, hidden, rng), None, length=num_steps
         )
         return RolloutResult(env_state, stats, transitions)
 

@@ -188,3 +188,34 @@ class QCriticEnsemble(nn.Module):
     def predict(self, obs: Array, act: Array) -> Array:
         """Min over double-Q heads → (..., num_metrics)."""
         return jnp.min(self(obs, act), axis=-1)
+
+
+class RecurrentGaussianActor(nn.Module):
+    """GRU-backed Gaussian policy for partially observable tasks — the
+    capability behind the reference collector's hidden-state plumbing
+    (``fast_collector.py:154-163``; no reference agent ships an RNN either,
+    the plumbing is the parity surface).
+
+    Step API (collection): ``apply(params, obs, carry, method="step")`` →
+    (dist, carry'). ``initial_carry(n)`` builds the per-env zero state.
+    """
+
+    act_dim: int
+    hidden_size: int = 128
+    max_action: float = 1.0
+
+    @nn.compact
+    def __call__(self, obs: Array, carry: Array):
+        cell = nn.GRUCell(features=self.hidden_size)
+        carry, h = cell(carry, obs)
+        mu = nn.Dense(self.act_dim, kernel_init=orthogonal_init(0.01),
+                      bias_init=nn.initializers.zeros)(h)
+        mu = self.max_action * jnp.tanh(mu)
+        log_sigma = self.param("log_sigma", nn.initializers.constant(-0.5),
+                               (self.act_dim,))
+        dist = DiagGaussian(mean=mu, std=jnp.broadcast_to(jnp.exp(log_sigma),
+                                                          mu.shape))
+        return dist, carry
+
+    def initial_carry(self, n_envs: int) -> Array:
+        return jnp.zeros((n_envs, self.hidden_size))

@@ -90,3 +90,31 @@ def test_autoreset_does_not_leak_final_obs():
     # the final obs of the finished episode
     assert not np.allclose(np.asarray(tr.obs[t_done + 1, 0]),
                            np.asarray(tr.obs_next[t_done, 0]))
+
+
+def test_recurrent_rollout_hidden_plumbing():
+    """GRU policy collects with hidden state threaded through the scan and
+    reset at episode ends — RNN parity with the reference collector."""
+    import jax
+    from fsrl_tpu.nets.mlp import RecurrentGaussianActor
+
+    env = make("SafetyBallRun-v0")
+    actor = RecurrentGaussianActor(act_dim=env.action_size, hidden_size=32)
+    params = actor.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, env.observation_size)),
+                        jnp.zeros((1, 32)))
+
+    def act_fn(p, obs, hidden, rng):
+        dist, hidden = actor.apply(p, obs, hidden)
+        act = dist.sample(rng)
+        return act, dist.log_prob(act), hidden
+
+    N, T = 3, env.max_episode_steps + 5
+    rollout = jax.jit(make_rollout_fn(
+        env, act_fn, T, init_hidden=lambda n: jnp.zeros((n, 32))))
+    res = rollout({"params": params["params"]} if "params" in params else params,
+                  env.reset_vec(jax.random.PRNGKey(1), N),
+                  EpisodeStats.init(N, 1), jax.random.PRNGKey(2))
+    assert res.transitions.obs.shape == (T, N, env.observation_size)
+    assert int(res.stats.n_episodes) == N  # episodes completed w/ resets
+    assert bool(jnp.all(jnp.isfinite(res.transitions.act)))
