@@ -1,7 +1,8 @@
-from fsrl_tpu.trainer.host_trainer import HostOnpolicyTrainer
+from fsrl_tpu.trainer.host_trainer import (HostOffpolicyTrainer,
+                                           HostOnpolicyTrainer)
 from fsrl_tpu.trainer.trainer import (BaseTrainerTPU, OffpolicyTrainerTPU,
                                       OnpolicyTrainerTPU, offpolicy_trainer,
                                       onpolicy_trainer, perf_is_better)
 
-__all__ = ["HostOnpolicyTrainer", "BaseTrainerTPU", "OnpolicyTrainerTPU", "OffpolicyTrainerTPU",
+__all__ = ["HostOnpolicyTrainer", "HostOffpolicyTrainer", "BaseTrainerTPU", "OnpolicyTrainerTPU", "OffpolicyTrainerTPU",
            "onpolicy_trainer", "offpolicy_trainer", "perf_is_better"]

@@ -60,9 +60,14 @@ class HostOnpolicyTrainer:
 
         self.rng = jax.random.PRNGKey(seed)
         self.rng, k = jax.random.split(self.rng)
+        if type(self) is HostOnpolicyTrainer:
+            assert hasattr(algo, "update"), (
+                f"{type(algo).__name__} is an off-policy algorithm "
+                "(no whole-segment update) — use HostOffpolicyTrainer")
         self.state = decache(algo.init(k))
         self.act_fn = jax.jit(algo.act_fn)
-        self.update_fn = jax.jit(algo.update)
+        self.update_fn = jax.jit(algo.update) if hasattr(algo, "update") \
+            else None
         self.obs = venv.reset(seed=seed)
         self.ep_r = np.zeros(venv.n)
         self.ep_c = np.zeros(venv.n)
@@ -163,3 +168,87 @@ class HostOnpolicyTrainer:
         for _, _, info in self:
             pass
         return info
+
+
+class HostOffpolicyTrainer(HostOnpolicyTrainer):
+    """Off-policy variant of the host-env loop: segments append into the
+    device ring buffer; ``round(update_per_step * collected)`` sampled-
+    minibatch gradient steps per collect (reference
+    ``fsrl/trainer/offpolicy.py:93-106``)."""
+
+    def __init__(self, algo, venv, test_venv=None, logger=None, *,
+                 buffer_size: int = 100000, update_per_step: float = 0.2,
+                 steps_per_collect: int = 100, **kwargs):
+        from fsrl_tpu.data.buffer import ReplayBuffer
+        assert hasattr(algo, "update_step"), (
+            f"{type(algo).__name__} is an on-policy algorithm "
+            "(no update_step) — use HostOnpolicyTrainer")
+        super().__init__(algo, venv, test_venv, logger,
+                         steps_per_collect=steps_per_collect, **kwargs)
+        self.buffer = ReplayBuffer(
+            capacity_per_env=max(buffer_size // venv.n, steps_per_collect),
+            n_envs=venv.n)
+        self.buf_state = decache(self.buffer.init(
+            venv.observation_size, venv.action_size, venv.num_costs))
+        self.n_updates = max(1, int(round(
+            update_per_step * steps_per_collect * venv.n)))
+        algo_ = algo
+        buffer = self.buffer
+        has_pre = hasattr(algo_, "pre_update")
+        has_post = hasattr(algo_, "post_update")
+
+        def update_block(state, buf_state, mean_c, n_ep, rng):
+            if hasattr(algo_, "update_lagrangian"):
+                state = algo_.update_lagrangian(state, mean_c, n_ep)
+            if has_pre:
+                state = algo_.pre_update(state)
+
+            def upd(s, key):
+                return algo_.update_step(s, buffer, buf_state, key)
+
+            state, ms = jax.lax.scan(
+                upd, state, jax.random.split(rng, self.n_updates))
+            if has_post:
+                state = algo_.post_update(state)
+            return state, jax.tree.map(lambda x: x[-1], ms)
+
+        self.update_block = jax.jit(update_block, donate_argnums=(0,))
+
+    def __next__(self):
+        if self.epoch >= self.epochs:
+            raise StopIteration
+        self.epoch += 1
+        steps = 0
+        while steps < self.step_per_epoch:
+            tr, mean_c, n_ep = self.collect_segment()
+            self.buf_state = self.buffer.add_segment(self.buf_state, tr)
+            self.rng, k = jax.random.split(self.rng)
+            self.state, metrics = self.update_block(
+                self.state, self.buf_state, mean_c, n_ep, k)
+            steps += self.T * self.venv.n
+            self.env_step += self.T * self.venv.n
+
+        self.rng, k = jax.random.split(self.rng)
+        stats = self.collector.collect(
+            jax.jit(self.algo.act_fn_eval), self.state.params,
+            self.episode_per_test, k)
+        rew, cost = stats["rew"], stats["cost"]
+        self.logger.store(tab="test", reward=rew, cost=cost,
+                          length=stats["len"])
+        if perf_is_better(rew, cost, self.best_rew, self.best_cost,
+                          self.cost_limit) or not self.has_best:
+            self.best_rew, self.best_cost = rew, cost
+            self.has_best = True
+            if self.logger.log_dir:
+                save_checkpoint(osp.join(self.logger.log_dir, "checkpoint",
+                                         "model_best"), self.state)
+        dur = time.time() - self.start_time
+        info = dict(epoch=self.epoch, env_step=self.env_step,
+                    best_reward=self.best_rew, best_cost=self.best_cost,
+                    test_reward=rew, test_cost=cost,
+                    speed=self.env_step / max(dur, 1e-9))
+        epoch_stats = dict(self.logger.stats_mean())
+        self.logger.write(self.env_step, display=self.verbose)
+        if self.stop_fn and self.stop_fn(self.best_rew, self.best_cost):
+            self.epoch = self.epochs
+        return self.epoch, epoch_stats, info

@@ -224,6 +224,9 @@ class OnpolicyTrainerTPU(BaseTrainerTPU):
     (``fsrl/trainer/onpolicy.py:92-110``) with the collect+update fused in jit."""
 
     def _build(self):
+        assert hasattr(self.algo, "update"), (
+            f"{type(self.algo).__name__} has no whole-segment update — "
+            "use OffpolicyTrainerTPU")
         rollout = make_rollout_fn(self.env, self.algo.act_fn, self.T)
         algo = self.algo
 
@@ -257,6 +260,9 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
 
     def _build(self):
         env, algo = self.env, self.algo
+        assert hasattr(algo, "update_step"), (
+            f"{type(algo).__name__} has no update_step — "
+            "use OnpolicyTrainerTPU")
         self.buffer = ReplayBuffer(
             capacity_per_env=max(self.buffer_size // self.n_envs, self.T),
             n_envs=self.n_envs)
