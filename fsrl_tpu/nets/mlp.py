@@ -16,7 +16,7 @@ Initialization parity with the reference recipe:
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,25 +34,35 @@ def orthogonal_init(scale: float = 1.0):
 
 
 class MLP(nn.Module):
-    """Plain MLP trunk; ReLU like Tianshou's ``Net`` default."""
+    """Plain MLP trunk; ReLU like Tianshou's ``Net`` default.
+
+    ``compute_dtype=jnp.bfloat16`` runs the matmuls in bf16 on the MXU while
+    parameters stay float32 (standard TPU mixed precision); outputs are cast
+    back to float32 so downstream losses/statistics keep full precision.
+    """
 
     hidden_sizes: Sequence[int]
     activation: Callable = nn.relu
     out_dim: int | None = None
     out_scale: float = 1.0  # last-layer init scale (0.01 trick when enabled)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        dt = self.compute_dtype
+        if dt is not None:
+            x = x.astype(dt)
         for h in self.hidden_sizes:
-            x = nn.Dense(h, kernel_init=orthogonal_init(), bias_init=nn.initializers.zeros)(x)
+            x = nn.Dense(h, kernel_init=orthogonal_init(),
+                         bias_init=nn.initializers.zeros, dtype=dt)(x)
             x = self.activation(x)
         if self.out_dim is not None:
             x = nn.Dense(
                 self.out_dim,
                 kernel_init=orthogonal_init(self.out_scale),
-                bias_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, dtype=dt,
             )(x)
-        return x
+        return x.astype(jnp.float32) if dt is not None else x
 
 
 class GaussianActor(nn.Module):

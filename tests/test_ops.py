@@ -199,3 +199,16 @@ def test_gae_pallas_interpret_matches_sequential():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_mlp_bf16_compute_path():
+    """Mixed-precision trunk: bf16 matmuls, f32 params and outputs."""
+    import flax.linen as nn
+    from fsrl_tpu.nets.mlp import MLP
+    m = MLP((64, 64), out_dim=4, compute_dtype=jnp.bfloat16)
+    x = jnp.ones((8, 16))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.dtype == jnp.float32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+    assert bool(jnp.all(jnp.isfinite(out)))
