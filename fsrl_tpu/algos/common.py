@@ -94,12 +94,33 @@ def normalize_adv(adv: Array, eps: float = 1e-8) -> Array:
     return (adv - mean) / (std + eps)
 
 
-def make_optimizer(lr: float, max_grad_norm: float | None = None):
+def make_optimizer(lr, max_grad_norm: float | None = None):
+    """Adam with optional global-norm clipping.
+
+    ``lr`` may be a float or any optax schedule (``Callable[[step], lr]``) —
+    the TPU-native replacement for the reference's per-update ``LambdaLR`` /
+    ``MultipleLRSchedulers`` plumbing (``fsrl/policy/base_policy.py:353``,
+    Tianshou ``MultipleLRSchedulers``): the schedule advances once per
+    *gradient step* inside the jitted update, no host-side ``.step()`` calls.
+    Use :func:`per_update_schedule` to express a schedule in units of trainer
+    updates like the reference's.
+    """
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(optax.adam(lr))
     return optax.chain(*chain)
+
+
+def per_update_schedule(schedule, grad_steps_per_update: int):
+    """Adapt a schedule expressed in trainer-update units (the reference's
+    ``lr_scheduler.step()`` cadence, one per ``policy.update``) to optax's
+    per-gradient-step counting: ``lr(t) = schedule(t // grad_steps_per_update)``.
+
+    For on-policy algos ``grad_steps_per_update = repeat * n_minibatches``."""
+    def sched(count):
+        return schedule(count // grad_steps_per_update)
+    return sched
 
 
 def select_tree(pred: Array, on_true, on_false):

@@ -43,6 +43,8 @@ class RolloutResult(NamedTuple):
     env_state: EnvState
     stats: EpisodeStats          # cumulative across the segment
     transitions: Transition      # time-major (T, N, ...)
+    hidden: object = None        # recurrent carry AFTER the segment (None if FF)
+    init_hidden: object = None   # recurrent carry at segment START (for BPTT)
 
 
 def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int,
@@ -62,6 +64,7 @@ def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int,
                 hidden=None) -> RolloutResult:
         if recurrent and hidden is None:
             hidden = init_hidden(env_state.obs.shape[0])
+        hidden0 = hidden
 
         def step(carry, _):
             env_state, stats, hidden, rng = carry
@@ -90,7 +93,7 @@ def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int,
         (env_state, stats, hidden, rng), transitions = jax.lax.scan(
             step, (env_state, stats, hidden, rng), None, length=num_steps
         )
-        return RolloutResult(env_state, stats, transitions)
+        return RolloutResult(env_state, stats, transitions, hidden, hidden0)
 
     return rollout
 
