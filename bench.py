@@ -29,10 +29,11 @@ def main():
     from fsrl_tpu.types import EpisodeStats
 
     env = make("SafetyCarCircle-v0")
-    # throughput shape: wide env batch, reference-equivalent update schedule
+    # throughput shape: wide env batch, reference-equivalent update schedule,
+    # bf16 MXU trunks (validated: same convergence as f32 on BallCircle/BallRun)
     N, T = 2048, 128
     algo = PPOLag(env.observation_size, env.action_size, cost_limit=10.0,
-                  repeat=4, n_minibatches=4)
+                  repeat=4, n_minibatches=4, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     state = algo.init(rng)
     env_state = env.reset_vec(rng, N)

@@ -81,10 +81,11 @@ class GaussianActor(nn.Module):
     unbounded: bool = False
     conditioned_sigma: bool = False
     last_layer_scale: bool = False
+    compute_dtype: Any = None   # bf16 trunk matmuls; mu/sigma heads stay f32
 
     @nn.compact
     def __call__(self, obs: Array) -> DiagGaussian:
-        trunk = MLP(self.hidden_sizes)(obs)
+        trunk = MLP(self.hidden_sizes, compute_dtype=self.compute_dtype)(obs)
         mu = nn.Dense(
             self.act_dim,
             kernel_init=orthogonal_init(0.01 if self.last_layer_scale else 1.0),
@@ -126,10 +127,12 @@ class DeterministicActor(nn.Module):
 
 class _VHead(nn.Module):
     hidden_sizes: Sequence[int]
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, obs: Array) -> Array:
-        return MLP(self.hidden_sizes, out_dim=1)(obs)[..., 0]
+        return MLP(self.hidden_sizes, out_dim=1,
+                   compute_dtype=self.compute_dtype)(obs)[..., 0]
 
 
 class VCriticEnsemble(nn.Module):
@@ -142,6 +145,7 @@ class VCriticEnsemble(nn.Module):
 
     num_critics: int
     hidden_sizes: Sequence[int] = (128, 128)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, obs: Array) -> Array:
@@ -151,17 +155,19 @@ class VCriticEnsemble(nn.Module):
             axis_size=self.num_critics,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-        )(self.hidden_sizes)
+        )(self.hidden_sizes, self.compute_dtype)
         return vhead(obs)
 
 
 class _QHead(nn.Module):
     hidden_sizes: Sequence[int]
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, obs: Array, act: Array) -> Array:
         x = jnp.concatenate([obs, act], axis=-1)
-        return MLP(self.hidden_sizes, out_dim=1)(x)[..., 0]
+        return MLP(self.hidden_sizes, out_dim=1,
+                   compute_dtype=self.compute_dtype)(x)[..., 0]
 
 
 class QCriticEnsemble(nn.Module):
@@ -176,6 +182,7 @@ class QCriticEnsemble(nn.Module):
     num_metrics: int
     num_q: int = 2
     hidden_sizes: Sequence[int] = (128, 128)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, obs: Array, act: Array) -> Array:
@@ -192,7 +199,7 @@ class QCriticEnsemble(nn.Module):
             axis_size=self.num_metrics,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-        )(self.hidden_sizes)
+        )(self.hidden_sizes, self.compute_dtype)
         return outer(obs, act)
 
     def predict(self, obs: Array, act: Array) -> Array:
