@@ -77,6 +77,7 @@ class CPO:
         cg_iters: int = 10,
         damping: float = 0.1,
         deterministic_eval: bool = True,
+        compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = 1
@@ -93,9 +94,10 @@ class CPO:
         self.actor = GaussianActor(
             act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
             unbounded=unbounded, conditioned_sigma=False,
-            last_layer_scale=last_layer_scale,
+            last_layer_scale=last_layer_scale, compute_dtype=compute_dtype,
         )
-        self.critics = VCriticEnsemble(num_critics=2, hidden_sizes=hidden_sizes)
+        self.critics = VCriticEnsemble(num_critics=2, hidden_sizes=hidden_sizes,
+                                       compute_dtype=compute_dtype)
         self.critic_tx = make_optimizer(lr)
 
     def init(self, rng: Array) -> CPOState:

@@ -94,6 +94,7 @@ class CVPO:
         max_action: float = 1.0,
         batch_size: int = 256,
         deterministic_eval: bool = True,
+        compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -115,11 +116,12 @@ class CVPO:
         self.deterministic_eval = deterministic_eval
         self.actor = GaussianActor(
             act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
-            unbounded=False, conditioned_sigma=True,
+            unbounded=False, conditioned_sigma=True, compute_dtype=compute_dtype,
         )
         self.critics = QCriticEnsemble(num_metrics=self.K,
                                        num_q=2 if double_critic else 1,
-                                       hidden_sizes=hidden_sizes)
+                                       hidden_sizes=hidden_sizes,
+                                       compute_dtype=compute_dtype)
         self.actor_tx = make_optimizer(actor_lr)
         self.critic_tx = make_optimizer(critic_lr)
         self.estep_tx = optax.adam(estep_dual_lr)
@@ -173,7 +175,7 @@ class CVPO:
     # ------------------------------------------------------------------
     def update_step(self, state: CVPOState, buffer: ReplayBuffer,
                     buf_state: ReplayBufferState, rng: Array,
-                    cost_limit: Array | None = None
+                    cost_limit: Array | None = None, view=None,
                     ) -> tuple[CVPOState, dict[str, Array]]:
         hp = self.hp
         # runtime cost-limit override recomputes the per-step qc threshold
@@ -192,7 +194,7 @@ class CVPO:
 
         batch, rets = sample_nstep_batch(
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
-            target_q_fn,
+            target_q_fn, view=view,
         )
 
         def closs(cp):

@@ -63,6 +63,7 @@ class DDPGLag:
         max_action: float = 1.0,
         batch_size: int = 256,
         deterministic_eval: bool = True,
+        compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -76,9 +77,11 @@ class DDPGLag:
         )
         self.deterministic_eval = deterministic_eval
         self.actor = DeterministicActor(act_dim=act_dim, hidden_sizes=hidden_sizes,
-                                        max_action=max_action)
+                                        max_action=max_action,
+                                        compute_dtype=compute_dtype)
         self.critics = QCriticEnsemble(num_metrics=self.K, num_q=1,
-                                       hidden_sizes=hidden_sizes)
+                                       hidden_sizes=hidden_sizes,
+                                       compute_dtype=compute_dtype)
         self.actor_tx = make_optimizer(actor_lr)
         self.critic_tx = make_optimizer(critic_lr)
 
@@ -125,7 +128,8 @@ class DDPGLag:
         return state.replace(lag=lag, last_ep_cost=cost_in)
 
     def update_step(self, state: DDPGLagState, buffer: ReplayBuffer,
-                    buf_state: ReplayBufferState, rng: Array
+                    buf_state: ReplayBufferState, rng: Array,
+                    view=None,
                     ) -> tuple[DDPGLagState, dict[str, Array]]:
         hp = self.hp
 
@@ -137,7 +141,7 @@ class DDPGLag:
 
         batch, rets = sample_nstep_batch(
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
-            target_q_fn,
+            target_q_fn, view=view,
         )
 
         # ---- critics ----

@@ -74,6 +74,7 @@ class FOCOPS:
         repeat: int = 4,
         n_minibatches: int = 4,
         deterministic_eval: bool = True,
+        compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = 1
@@ -90,9 +91,10 @@ class FOCOPS:
         self.actor = GaussianActor(
             act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
             unbounded=unbounded, conditioned_sigma=False,
-            last_layer_scale=last_layer_scale,
+            last_layer_scale=last_layer_scale, compute_dtype=compute_dtype,
         )
-        self.critics = VCriticEnsemble(num_critics=2, hidden_sizes=hidden_sizes)
+        self.critics = VCriticEnsemble(num_critics=2, hidden_sizes=hidden_sizes,
+                                       compute_dtype=compute_dtype)
         self.actor_tx = make_optimizer(actor_lr, max_grad_norm)
         self.critic_tx = make_optimizer(critic_lr)
 

@@ -81,6 +81,7 @@ class RecurrentPPOLag:
         repeat: int = 4,
         n_minibatches: int = 4,
         deterministic_eval: bool = True,
+        compute_dtype: Any = None,   # bf16 critic trunks (GRU stays f32)
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -100,7 +101,8 @@ class RecurrentPPOLag:
         self.actor = RecurrentGaussianActor(
             act_dim=act_dim, hidden_size=hidden_size, max_action=max_action)
         self.critics = VCriticEnsemble(num_critics=self.K,
-                                       hidden_sizes=critic_hidden_sizes)
+                                       hidden_sizes=critic_hidden_sizes,
+                                       compute_dtype=compute_dtype)
         self.tx = make_optimizer(lr, max_grad_norm)
 
     # ---------------- init ----------------

@@ -74,6 +74,7 @@ class SACLag:
         max_action: float = 1.0,
         batch_size: int = 256,
         deterministic_eval: bool = False,   # reference default (sac_lag_agent.py:102)
+        compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -91,10 +92,11 @@ class SACLag:
         # conditioned_sigma + unbounded — the SAC recipe (sac_lag_agent.py:126-135)
         self.actor = GaussianActor(
             act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
-            unbounded=True, conditioned_sigma=True,
+            unbounded=True, conditioned_sigma=True, compute_dtype=compute_dtype,
         )
         self.critics = QCriticEnsemble(num_metrics=self.K, num_q=2,
-                                       hidden_sizes=hidden_sizes)
+                                       hidden_sizes=hidden_sizes,
+                                       compute_dtype=compute_dtype)
         self.actor_tx = make_optimizer(actor_lr)
         self.critic_tx = make_optimizer(critic_lr)
         self.alpha_tx = optax.adam(alpha_lr)
@@ -150,7 +152,8 @@ class SACLag:
         return state.replace(lag=lag, last_ep_cost=cost_in)
 
     def update_step(self, state: SACLagState, buffer: ReplayBuffer,
-                    buf_state: ReplayBufferState, rng: Array
+                    buf_state: ReplayBufferState, rng: Array,
+                    view=None,
                     ) -> tuple[SACLagState, dict[str, Array]]:
         hp = self.hp
         rng_t, rng_a = jax.random.split(rng)
@@ -166,7 +169,7 @@ class SACLag:
 
         batch, rets = sample_nstep_batch(
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
-            target_q_fn,
+            target_q_fn, view=view,
         )
 
         # ---- critics (both heads vs same target) ----

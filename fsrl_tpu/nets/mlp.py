@@ -116,10 +116,11 @@ class DeterministicActor(nn.Module):
     act_dim: int
     hidden_sizes: Sequence[int] = (128, 128)
     max_action: float = 1.0
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, obs: Array) -> Array:
-        trunk = MLP(self.hidden_sizes)(obs)
+        trunk = MLP(self.hidden_sizes, compute_dtype=self.compute_dtype)(obs)
         mu = nn.Dense(self.act_dim, kernel_init=orthogonal_init(),
                       bias_init=nn.initializers.zeros)(trunk)
         return self.max_action * jnp.tanh(mu)

@@ -294,8 +294,11 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
             if has_pre:
                 state = algo.pre_update(state)
 
+            from fsrl_tpu.algos.offpolicy_base import make_nstep_view
+            view = make_nstep_view(buffer, buf_state)   # once per collect
+
             def upd(s, key):
-                s, m = algo.update_step(s, buffer, buf_state, key)
+                s, m = algo.update_step(s, buffer, buf_state, key, view=view)
                 return s, m
 
             state, ms = jax.lax.scan(upd, state,
