@@ -1,6 +1,8 @@
 from fsrl_tpu.agent.agents import (BaseAgentTPU, CPOAgent, CVPOAgent,
                                    DDPGLagAgent, FOCOPSAgent, PPOLagAgent,
-                                   SACLagAgent, TRPOLagAgent)
+                                   RecurrentPPOLagAgent, SACLagAgent,
+                                   TRPOLagAgent)
 
-__all__ = ["BaseAgentTPU", "PPOLagAgent", "TRPOLagAgent", "CPOAgent",
-           "FOCOPSAgent", "DDPGLagAgent", "SACLagAgent", "CVPOAgent"]
+__all__ = ["BaseAgentTPU", "PPOLagAgent", "RecurrentPPOLagAgent",
+           "TRPOLagAgent", "CPOAgent", "FOCOPSAgent", "DDPGLagAgent",
+           "SACLagAgent", "CVPOAgent"]

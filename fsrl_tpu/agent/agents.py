@@ -17,6 +17,7 @@ from fsrl_tpu.algos.cvpo import CVPO
 from fsrl_tpu.algos.ddpg_lag import DDPGLag
 from fsrl_tpu.algos.focops import FOCOPS
 from fsrl_tpu.algos.ppo_lag import PPOLag
+from fsrl_tpu.algos.ppo_lag_rnn import RecurrentPPOLag
 from fsrl_tpu.algos.sac_lag import SACLag
 from fsrl_tpu.algos.trpo_lag import TRPOLag
 from fsrl_tpu.data.collector import evaluate
@@ -103,9 +104,10 @@ class BaseAgentTPU:
         st = state if state is not None else self.state
         cache = getattr(self, "_eval_cache", {})
         if n_episodes not in cache:
+            ih = getattr(self.algo, "init_hidden", None)
             cache[n_episodes] = jax.jit(
                 lambda p, r: evaluate(self.env, self.algo.act_fn_eval, p, r,
-                                      n_episodes))
+                                      n_episodes, init_hidden=ih))
             self._eval_cache = cache
         out = cache[n_episodes](st.params, jax.random.PRNGKey(seed))
         return float(out["reward"]), float(out["length"]), float(out["cost"])
@@ -116,6 +118,15 @@ class PPOLagAgent(BaseAgentTPU):
     lr=5e-4, PID (0.05, 0.0005, 0.1))."""
     name = "PPOLagAgent"
     algo_cls = PPOLag
+    onpolicy = True
+
+
+class RecurrentPPOLagAgent(BaseAgentTPU):
+    """GRU-actor PPO-Lagrangian trained with truncated BPTT — beyond-parity
+    (the reference plumbs RNN hidden state through its collector,
+    ``fast_collector.py:154-163``, but ships no recurrent training)."""
+    name = "RecurrentPPOLagAgent"
+    algo_cls = RecurrentPPOLag
     onpolicy = True
 
 

@@ -104,19 +104,29 @@ def evaluate(
     params,
     rng: Array,
     n_episodes: int,
+    init_hidden=None,
 ) -> dict[str, Array]:
     """Episode-exact evaluation: n_episodes envs each run exactly one episode
     (latched done mask). Returns the reference eval stat triple
     (mean reward, length, cost — ``base_agent.py:53-88``) plus termination
-    counts. Jittable; wrap in jax.jit at call sites that reuse it."""
+    counts. Jittable; wrap in jax.jit at call sites that reuse it.
+
+    Recurrent policies: pass ``init_hidden(n) -> carry`` and a 4-arg
+    ``act_fn(params, obs, hidden, rng) -> (act, logp, hidden')``; each episode
+    starts from the fresh carry (matching the reference eval collector's
+    per-episode hidden reset)."""
+    recurrent = init_hidden is not None
     rng, rkey = jax.random.split(rng)
     state = env.reset_vec(rkey, n_episodes)
     M = env.num_costs
 
     def step(carry, _):
-        state, alive, ep_r, ep_c, ep_len, n_term, rng = carry
+        state, alive, ep_r, ep_c, ep_len, n_term, hidden, rng = carry
         rng, akey = jax.random.split(rng)
-        act, _ = act_fn(params, state.obs, akey)
+        if recurrent:
+            act, _, hidden = act_fn(params, state.obs, hidden, akey)
+        else:
+            act, _ = act_fn(params, state.obs, akey)
         env_act = map_action(act, env.action_low, env.action_high)
         state, ts = env.step_vec(state, env_act)
         af = alive.astype(ep_r.dtype)
@@ -125,12 +135,13 @@ def evaluate(
         ep_len = ep_len + alive.astype(jnp.int32)
         n_term = n_term + jnp.sum(alive & ts.terminated)
         alive = jnp.logical_and(alive, jnp.logical_not(ts.done))
-        return (state, alive, ep_r, ep_c, ep_len, n_term, rng), None
+        return (state, alive, ep_r, ep_c, ep_len, n_term, hidden, rng), None
 
     N = n_episodes
+    hidden0 = init_hidden(N) if recurrent else None
     init = (state, jnp.ones((N,), bool), jnp.zeros((N,)), jnp.zeros((N, M)),
-            jnp.zeros((N,), jnp.int32), jnp.zeros((), jnp.int32), rng)
-    (state, alive, ep_r, ep_c, ep_len, n_term, rng), _ = jax.lax.scan(
+            jnp.zeros((N,), jnp.int32), jnp.zeros((), jnp.int32), hidden0, rng)
+    (state, alive, ep_r, ep_c, ep_len, n_term, _, rng), _ = jax.lax.scan(
         step, init, None, length=env.max_episode_steps
     )
     return {

@@ -116,9 +116,10 @@ class BaseTrainerTPU:
         self.has_best = False
         self.start_time = time.time()
         self.collect_time = 0.0
+        _ih = getattr(algo, "init_hidden", None)   # recurrent eval support
         self.test_fn = jax.jit(
             lambda params, rng: evaluate(env, algo.act_fn_eval, params, rng,
-                                         episode_per_test))
+                                         episode_per_test, init_hidden=_ih))
         self._build()  # subclass: builds self.train_iter
 
     # ------------------------------------------------------------------
@@ -221,28 +222,60 @@ class BaseTrainerTPU:
 class OnpolicyTrainerTPU(BaseTrainerTPU):
     """collect segment → PID pre-update → whole-segment policy update →
     (implicit) buffer reset: the reference on-policy schedule
-    (``fsrl/trainer/onpolicy.py:92-110``) with the collect+update fused in jit."""
+    (``fsrl/trainer/onpolicy.py:92-110``) with the collect+update fused in jit.
+
+    Recurrent algorithms (``algo.init_hidden`` present, e.g.
+    :class:`fsrl_tpu.algos.ppo_lag_rnn.RecurrentPPOLag`) are handled
+    transparently: the hidden state carries across collect segments and the
+    BPTT update receives the segment-start carry."""
 
     def _build(self):
         assert hasattr(self.algo, "update"), (
             f"{type(self.algo).__name__} has no whole-segment update — "
             "use OffpolicyTrainerTPU")
-        rollout = make_rollout_fn(self.env, self.algo.act_fn, self.T)
         algo = self.algo
+        self.recurrent = hasattr(algo, "init_hidden")
+        if self.recurrent:
+            rollout = make_rollout_fn(self.env, algo.act_fn, self.T,
+                                      init_hidden=algo.init_hidden)
+            self.hidden = decache(algo.init_hidden(self.n_envs))
+            if self.mesh is not None:
+                self.hidden = shard_env_state(self.mesh, self.hidden)
 
-        def train_iter(state, env_state, stats, rng):
-            rng, k1, k2 = jax.random.split(rng, 3)
-            res = rollout(state.params, env_state, stats.reset_aggregates(), k1)
-            state, metrics = algo.update(
-                state, res.transitions, res.stats.mean_cost,
-                res.stats.n_episodes, k2)
-            return state, res.env_state, res.stats, rng, metrics
+            def train_iter(state, env_state, stats, hidden, rng):
+                rng, k1, k2 = jax.random.split(rng, 3)
+                res = rollout(state.params, env_state,
+                              stats.reset_aggregates(), k1, hidden=hidden)
+                state, metrics = algo.update(
+                    state, res.transitions, res.init_hidden,
+                    res.stats.mean_cost, res.stats.n_episodes, k2)
+                return (state, res.env_state, res.stats, res.hidden, rng,
+                        metrics)
 
-        self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2))
+            self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2, 3))
+        else:
+            rollout = make_rollout_fn(self.env, algo.act_fn, self.T)
+
+            def train_iter(state, env_state, stats, rng):
+                rng, k1, k2 = jax.random.split(rng, 3)
+                res = rollout(state.params, env_state,
+                              stats.reset_aggregates(), k1)
+                state, metrics = algo.update(
+                    state, res.transitions, res.stats.mean_cost,
+                    res.stats.n_episodes, k2)
+                return state, res.env_state, res.stats, rng, metrics
+
+            self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2))
 
     def _run_iter(self):
-        self.state, self.env_state, self.stats, self.rng, metrics = \
-            self.train_iter(self.state, self.env_state, self.stats, self.rng)
+        if self.recurrent:
+            (self.state, self.env_state, self.stats, self.hidden, self.rng,
+             metrics) = self.train_iter(self.state, self.env_state, self.stats,
+                                        self.hidden, self.rng)
+        else:
+            self.state, self.env_state, self.stats, self.rng, metrics = \
+                self.train_iter(self.state, self.env_state, self.stats,
+                                self.rng)
         self._log_train(self.stats, metrics)
         return metrics
 

@@ -108,3 +108,20 @@ def test_bptt_learning_improves_reward():
             rews.append(float(stats.mean_reward))
     assert len(rews) >= 4
     assert rews[-1] > rews[0] + 50.0, rews
+
+
+def test_recurrent_agent_trainer_integration():
+    """RecurrentPPOLag drives through the full agent/trainer stack: hidden
+    carried across collects, BPTT updates, recurrent episode-exact eval."""
+    from fsrl_tpu.agent import RecurrentPPOLagAgent
+
+    agent = RecurrentPPOLagAgent("SafetyBallRun-v0", cost_limit=9999.0, seed=0,
+                                 hidden_size=32, critic_hidden_sizes=(32, 32))
+    info = agent.learn(epochs=4, step_per_epoch=4000, n_envs=16,
+                       steps_per_collect=125, episode_per_test=4,
+                       verbose=False)
+    assert info["env_step"] >= 16000
+    rew, length, cost = agent.evaluate(n_episodes=4)
+    assert jnp.isfinite(rew) and length > 0
+    # learning signal: test reward above the untrained baseline (~<50)
+    assert info["best_reward"] > 50.0, info
