@@ -8,7 +8,9 @@ import pytest
 from fsrl_tpu.envs import make
 
 NAV_TASKS = ["SafetyPointGoal1-v0", "SafetyPointGoal2-v0",
-             "SafetyCarGoal1-v0", "SafetyCarGoal2-v0"]
+             "SafetyCarGoal1-v0", "SafetyCarGoal2-v0",
+             "SafetyPointButton1-v0", "SafetyPointButton2-v0",
+             "SafetyPointPush1-v0", "SafetyPointPush2-v0"]
 ANT_TASKS = ["SafetyAntRun-v0", "SafetyAntCircle-v0"]
 
 
@@ -82,3 +84,58 @@ def test_velocity_wrapper_cost():
     _, _, _, _, info = env.step(env.action_space.sample())
     assert "cost" in info and info["cost"] in (0.0, 1.0)
     env.close()
+
+
+def test_button_env_goal_press_and_wrong_button_cost():
+    env = make("SafetyPointButton1-v0")
+    state = env.reset(jax.random.PRNGKey(5))
+
+    @jax.jit
+    def toward_goal(state):
+        def body(s, _):
+            goal = s.sim.buttons[s.sim.goal_idx]
+            act = jnp.clip(goal - s.sim.pos, -1, 1)
+            s, ts = env.step(s, act)
+            return s, ts.reward
+        return jax.lax.scan(body, state, None, length=200)
+
+    state, rews = toward_goal(state)
+    assert float(jnp.sum(rews)) > 0.5  # progress + press bonus reachable
+
+    # parking on a NON-goal button accrues cost every step
+    sim = state.sim
+    wrong_idx = (sim.goal_idx + 1) % 4
+    sim2 = sim.replace(pos=sim.buttons[wrong_idx], vel=jnp.zeros(2))
+    s2 = state.replace(sim=sim2)
+    _, ts = env.step(s2, jnp.zeros(env.action_size))
+    assert float(ts.cost.sum()) == 1.0
+
+
+def test_push_env_box_moves_and_pillar_costs():
+    env = make("SafetyPointPush1-v0")
+    state = env.reset(jax.random.PRNGKey(7))
+    # teleport robot just behind the box relative to goal and push
+    sim = state.sim
+    to_goal = (sim.goal - sim.box) / jnp.linalg.norm(sim.goal - sim.box)
+    sim = sim.replace(pos=sim.box - 0.35 * to_goal, vel=jnp.zeros(2))
+    state = state.replace(sim=sim)
+
+    @jax.jit
+    def push(state):
+        def body(s, _):
+            d = (s.sim.box - s.sim.pos)
+            act = jnp.clip(3.0 * d + (s.sim.goal - s.sim.box), -1, 1)
+            s, ts = env.step(s, act)
+            return s, jnp.linalg.norm(s.sim.goal - s.sim.box)
+        return jax.lax.scan(body, state, None, length=150)
+
+    d0 = float(jnp.linalg.norm(state.sim.goal - state.sim.box))
+    state2, dists = push(state)
+    assert float(dists[-1]) < d0 - 0.2  # the box actually moved toward goal
+
+    # standing inside the pillar contact radius costs and is projected out
+    simp = state.sim.replace(pos=state.sim.pillar)
+    sp = state.replace(sim=simp)
+    sp2, ts = env.step(sp, jnp.zeros(env.action_size))
+    assert float(ts.cost.sum()) == 1.0
+    assert float(jnp.linalg.norm(sp2.sim.pos - sp2.sim.pillar)) >= 0.44
