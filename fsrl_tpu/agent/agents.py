@@ -109,7 +109,8 @@ class BaseAgentTPU:
                 lambda p, r: evaluate(self.env, self.algo.act_fn_eval, p, r,
                                       n_episodes, init_hidden=ih))
             self._eval_cache = cache
-        out = cache[n_episodes](st.params, jax.random.PRNGKey(seed))
+        out = jax.device_get(cache[n_episodes](st.params,
+                                               jax.random.PRNGKey(seed)))
         return float(out["reward"]), float(out["length"]), float(out["cost"])
 
 

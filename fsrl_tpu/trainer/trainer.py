@@ -132,7 +132,7 @@ class BaseTrainerTPU:
     # ------------------------------------------------------------------
     def test_step(self) -> tuple[float, float, float]:
         self.rng, k = jax.random.split(self.rng)
-        out = self.test_fn(self._params(), k)
+        out = jax.device_get(self.test_fn(self._params(), k))  # one transfer
         rew = float(out["reward"]); cost = float(out["cost"])
         length = float(out["length"])
         self.logger.store(tab="test", reward=rew, cost=cost, length=length)
@@ -198,16 +198,24 @@ class BaseTrainerTPU:
 
     # shared metric push
     def _log_train(self, stats: EpisodeStats, metrics: dict):
-        n_ep = int(stats.n_episodes)
+        # ONE device->host transfer for everything: per-scalar float() calls
+        # each pay a full device roundtrip (24+ ms through a TPU tunnel),
+        # which capped the whole trainer loop at ~10k env-steps/s.
+        host = jax.device_get({
+            "n_ep": stats.n_episodes, "rew": stats.mean_reward,
+            "cost": jnp.sum(stats.mean_cost), "len": stats.mean_length,
+            "metrics": metrics,
+        })
+        n_ep = int(host["n_ep"])
         if n_ep > 0:
             self.logger.store(
                 tab="train",
-                reward=float(stats.mean_reward),
-                cost=float(jnp.sum(stats.mean_cost)),
-                length=float(stats.mean_length),
+                reward=float(host["rew"]),
+                cost=float(host["cost"]),
+                length=float(host["len"]),
                 num_episodes=n_ep,
             )
-        for k, v in metrics.items():
+        for k, v in host["metrics"].items():
             try:
                 val = float(v)
             except (TypeError, ValueError):
