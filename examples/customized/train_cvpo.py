@@ -1,30 +1,26 @@
-"""Customized training loop assembled by hand — the analog of the reference's
-``examples/customized/train_*.py`` scripts which bypass the Agent layer and
-wire nets/policy/collector/trainer directly (``train_cvpo.py:113-253``).
-
-Here the equivalent degrees of freedom are: build the algorithm yourself,
-write your own jitted train iteration, control the buffer and the update
-schedule, and plug in a custom logger — all without the trainer class.
-"""
+"""Customized CVPO loop assembled by hand (reference
+``examples/customized/train_cvpo.py:113-253``): replay buffer, E/M-step
+variational updates sampled from replay, per-collect hard sync of the old
+actor — no Agent, no Trainer."""
 
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
-from fsrl_tpu.algos.sac_lag import SACLag
+from custom_common import save_model, setup_run
+from fsrl_tpu.algos.cvpo import CVPO
 from fsrl_tpu.config.cli import cli
 from fsrl_tpu.data.buffer import ReplayBuffer
 from fsrl_tpu.data.collector import evaluate, make_rollout_fn
 from fsrl_tpu.envs import make
 from fsrl_tpu.trainer.trainer import decache
 from fsrl_tpu.types import EpisodeStats
-from fsrl_tpu.utils.logger import TensorboardLogger
 
 
 @dataclass
 class CustomCfg:
-    task: str = "SafetyBallCircle-v0"
+    task: str = "SafetyBallRun-v0"
     cost_limit: float = 25.0
     total_iters: int = 300
     n_envs: int = 8
@@ -32,6 +28,10 @@ class CustomCfg:
     updates_per_collect: int = 160
     buffer_size: int = 200000
     batch_size: int = 256
+    sample_act_num: int = 16     # E-step particles K
+    estep_kl: float = 0.02
+    mstep_kl_mu: float = 0.005
+    mstep_kl_std: float = 0.0005
     seed: int = 0
     logdir: str = "logs/custom"
     eval_every: int = 50
@@ -39,14 +39,15 @@ class CustomCfg:
 
 @cli(CustomCfg)
 def main(cfg: CustomCfg):
-    import dataclasses
-
     env = make(cfg.task)
-    algo = SACLag(env.observation_size, env.action_size,
-                  cost_limit=cfg.cost_limit, batch_size=cfg.batch_size)
+    algo = CVPO(env.observation_size, env.action_size,
+                cost_limit=cfg.cost_limit,
+                max_episode_steps=env.max_episode_steps,
+                batch_size=cfg.batch_size,
+                sample_act_num=cfg.sample_act_num, estep_kl=cfg.estep_kl,
+                mstep_kl_mu=cfg.mstep_kl_mu, mstep_kl_std=cfg.mstep_kl_std)
     buffer = ReplayBuffer(cfg.buffer_size // cfg.n_envs, cfg.n_envs)
-    logger = TensorboardLogger(cfg.logdir, name=f"sacl-{cfg.task}")
-    logger.save_config(dataclasses.asdict(cfg))
+    logger = setup_run(cfg, "cvpo_custom")
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, k1, k2 = jax.random.split(rng, 3)
@@ -62,14 +63,15 @@ def main(cfg: CustomCfg):
         rng, k1, k2 = jax.random.split(rng, 3)
         res = rollout(state.params, env_state, stats.reset_aggregates(), k1)
         buf_state = buffer.add_segment(buf_state, res.transitions)
-        state = algo.update_lagrangian(state, res.stats.mean_cost,
-                                       res.stats.n_episodes)
 
         def upd(s, key):
             return algo.update_step(s, buffer, buf_state, key)
 
         state, ms = jax.lax.scan(
             upd, state, jax.random.split(k2, cfg.updates_per_collect))
+        # old-actor hard sync once per collect (reference post_update_fn,
+        # cvpo.py:190-193)
+        state = algo.post_update(state)
         return (state, res.env_state, res.stats, buf_state, rng,
                 jax.tree.map(lambda x: x[-1], ms))
 
@@ -87,8 +89,6 @@ def main(cfg: CustomCfg):
             logger.store(tab="test", reward=float(out["reward"]),
                          cost=float(out["cost"]))
             logger.write((it + 1) * cfg.steps_per_collect * cfg.n_envs)
-
-    from custom_common import save_model
     save_model(logger, state)
     logger.print(f"run dir: {logger.log_dir}")
 

@@ -1,37 +1,35 @@
-"""Customized training loop assembled by hand — the analog of the reference's
-``examples/customized/train_*.py`` scripts which bypass the Agent layer and
-wire nets/policy/collector/trainer directly (``train_cvpo.py:113-253``).
-
-Here the equivalent degrees of freedom are: build the algorithm yourself,
-write your own jitted train iteration, control the buffer and the update
-schedule, and plug in a custom logger — all without the trainer class.
-"""
+"""Customized DDPG-Lagrangian loop assembled by hand (reference
+``examples/customized/train_ddpgl.py``): device ring replay buffer, PID
+multiplier updated on-policy from fresh collect stats ("off-on" schedule,
+README.md:72), n-step target updates sampled from replay — no Agent, no
+Trainer."""
 
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
-from fsrl_tpu.algos.sac_lag import SACLag
+from custom_common import save_model, setup_run
+from fsrl_tpu.algos.ddpg_lag import DDPGLag
 from fsrl_tpu.config.cli import cli
 from fsrl_tpu.data.buffer import ReplayBuffer
 from fsrl_tpu.data.collector import evaluate, make_rollout_fn
 from fsrl_tpu.envs import make
 from fsrl_tpu.trainer.trainer import decache
 from fsrl_tpu.types import EpisodeStats
-from fsrl_tpu.utils.logger import TensorboardLogger
 
 
 @dataclass
 class CustomCfg:
-    task: str = "SafetyBallCircle-v0"
+    task: str = "SafetyBallRun-v0"
     cost_limit: float = 25.0
     total_iters: int = 300
     n_envs: int = 8
     steps_per_collect: int = 100
-    updates_per_collect: int = 160
+    updates_per_collect: int = 160   # update_per_step=0.2 x 800 steps
     buffer_size: int = 200000
     batch_size: int = 256
+    n_step: int = 3
     seed: int = 0
     logdir: str = "logs/custom"
     eval_every: int = 50
@@ -39,14 +37,12 @@ class CustomCfg:
 
 @cli(CustomCfg)
 def main(cfg: CustomCfg):
-    import dataclasses
-
     env = make(cfg.task)
-    algo = SACLag(env.observation_size, env.action_size,
-                  cost_limit=cfg.cost_limit, batch_size=cfg.batch_size)
+    algo = DDPGLag(env.observation_size, env.action_size,
+                   cost_limit=cfg.cost_limit, batch_size=cfg.batch_size,
+                   n_step=cfg.n_step)
     buffer = ReplayBuffer(cfg.buffer_size // cfg.n_envs, cfg.n_envs)
-    logger = TensorboardLogger(cfg.logdir, name=f"sacl-{cfg.task}")
-    logger.save_config(dataclasses.asdict(cfg))
+    logger = setup_run(cfg, "ddpgl_custom")
 
     rng = jax.random.PRNGKey(cfg.seed)
     rng, k1, k2 = jax.random.split(rng, 3)
@@ -87,8 +83,6 @@ def main(cfg: CustomCfg):
             logger.store(tab="test", reward=float(out["reward"]),
                          cost=float(out["cost"]))
             logger.write((it + 1) * cfg.steps_per_collect * cfg.n_envs)
-
-    from custom_common import save_model
     save_model(logger, state)
     logger.print(f"run dir: {logger.log_dir}")
 
