@@ -117,14 +117,23 @@ class DDPGLag:
                           n_episodes: Array,
                           cost_limit: Array | None = None) -> DDPGLagState:
         """pre_update_fn: PID step from the fresh collect (once per collect,
-        not per gradient step — reference offpolicy trainer semantics)."""
+        not per gradient step — reference offpolicy trainer semantics).
+
+        Steps the PID only when the collect completed at least one episode:
+        the reference's collects are episode-counted (``episode_per_collect``)
+        so every PID step sees a fresh episodic-cost measurement
+        (``lagrangian_base.py:98-100``). With fixed-length segments a short
+        collect may complete none — re-feeding the stale ``last_ep_cost``
+        would wind the PID integral several times per measurement."""
+        if not self.hp["use_lagrangian"]:
+            return state
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
-        if self.hp["use_lagrangian"]:
-            kp, ki, kd = self.hp["pid"]
-            limit = self.cost_limit if cost_limit is None else cost_limit
-            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
-        else:
-            lag = state.lag
+        kp, ki, kd = self.hp["pid"]
+        limit = self.cost_limit if cost_limit is None else cost_limit
+        stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
+        lag = jax.tree.map(
+            lambda new, old: jnp.where(n_episodes > 0, new, old),
+            stepped, state.lag)
         return state.replace(lag=lag, last_ep_cost=cost_in)
 
     def update_step(self, state: DDPGLagState, buffer: ReplayBuffer,

@@ -138,9 +138,11 @@ class FOCOPS:
                              state.last_ep_cost)[0]
         limit = self.cost_limit if cost_limit is None \
             else jnp.squeeze(cost_limit)
-        # nu update (focops.py:155-160)
+        # nu update (focops.py:155-160), stepped only on fresh episodic data
+        # (stale re-feeds would drift nu several times per measurement)
         loss_nu = limit - avg_cost
-        nu = jnp.clip(state.nu - hp["nu_lr"] * loss_nu, 0.0, hp["nu_max"])
+        nu_new = jnp.clip(state.nu - hp["nu_lr"] * loss_nu, 0.0, hp["nu_max"])
+        nu = jnp.where(n_episodes > 0, nu_new, state.nu)
 
         batch = process_rollout(
             lambda p, o: self.critics.apply(p["critics"], o),

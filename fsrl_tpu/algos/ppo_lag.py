@@ -149,11 +149,18 @@ class PPOLag:
     ) -> tuple[PPOLagState, dict[str, Array]]:
         hp = self.hp
         # --- PID multiplier from fresh on-policy episodic cost ---
+        # Stepped only when this collect completed >=1 episode (reference
+        # collects are episode-counted so each PID step sees fresh data,
+        # lagrangian_base.py:98-100; re-feeding a stale cost would wind the
+        # integral several times per measurement).
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         limit = self.cost_limit if cost_limit is None else cost_limit
         if hp["use_lagrangian"]:
             kp, ki, kd = hp["pid"]
-            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
+            stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
+            lag = jax.tree.map(
+                lambda new, old: jnp.where(n_episodes > 0, new, old),
+                stepped, state.lag)
         else:
             lag = state.lag
 

@@ -168,11 +168,15 @@ class RecurrentPPOLag:
         hp = self.hp
         T, N = tr.reward.shape
 
+        # PID stepped only on fresh episodic data (see ppo_lag.py)
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         limit = self.cost_limit if cost_limit is None else cost_limit
         if hp["use_lagrangian"]:
             kp, ki, kd = hp["pid"]
-            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
+            stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
+            lag = jax.tree.map(
+                lambda new, old: jnp.where(n_episodes > 0, new, old),
+                stepped, state.lag)
         else:
             lag = state.lag
         lam_mult = lag.multiplier

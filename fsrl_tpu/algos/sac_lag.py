@@ -142,13 +142,20 @@ class SACLag:
     def update_lagrangian(self, state: SACLagState, ep_cost_mean: Array,
                           n_episodes: Array,
                           cost_limit: Array | None = None) -> SACLagState:
+        # Step the PID only on fresh episodic data: the reference's collects
+        # are episode-counted so every PID step sees a new measurement
+        # (lagrangian_base.py:98-100); re-feeding a stale cost each short
+        # fixed-length collect would wind the integral several times per
+        # measurement.
+        if not self.hp["use_lagrangian"]:
+            return state
         cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
-        if self.hp["use_lagrangian"]:
-            kp, ki, kd = self.hp["pid"]
-            limit = self.cost_limit if cost_limit is None else cost_limit
-            lag = pid_step(state.lag, cost_in, limit, kp, ki, kd)
-        else:
-            lag = state.lag
+        kp, ki, kd = self.hp["pid"]
+        limit = self.cost_limit if cost_limit is None else cost_limit
+        stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
+        lag = jax.tree.map(
+            lambda new, old: jnp.where(n_episodes > 0, new, old),
+            stepped, state.lag)
         return state.replace(lag=lag, last_ep_cost=cost_in)
 
     def update_step(self, state: SACLagState, buffer: ReplayBuffer,
@@ -165,7 +172,15 @@ class SACLag:
             q = self.critics.apply(state.target_critic_params,
                                    term_batch.obs_next, a)     # (B, K, 2)
             minq = jnp.min(q, axis=-1)                          # (B, K)
-            return minq - alpha * logp[:, None]
+            # Entropy bonus only in the REWARD critic's target. The reference
+            # subtracts alpha*logp from every critic (sac_lag.py:136-145),
+            # which makes the cost critics estimate cost-to-go MINUS
+            # alpha*entropy-to-go — at the large multipliers a
+            # starts-infeasible task produces, lambda*Qc then optimizes
+            # entropy instead of the constraint. Deliberate deviation: cost
+            # critics estimate pure cost-to-go.
+            ent_mask = (jnp.arange(self.K) == 0).astype(minq.dtype)
+            return minq - alpha * logp[:, None] * ent_mask
 
         batch, rets = sample_nstep_batch(
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
@@ -215,6 +230,13 @@ class SACLag:
             alpha_loss, agrad = jax.value_and_grad(al_loss)(log_alpha)
             aupd2, alpha_opt = self.alpha_tx.update(agrad, alpha_opt, log_alpha)
             log_alpha = optax.apply_updates(log_alpha, aupd2)
+            # Bound alpha: when a high Lagrangian multiplier holds the policy
+            # in a low-entropy regime, the unbounded alpha ascent otherwise
+            # runs away and (via the -alpha*logp term in every critic target,
+            # amplified ~1/(1-gamma) by bootstrapping) explodes all Q values.
+            # The cap is far above any healthy alpha (reference runs settle at
+            # alpha << 1) so it only clips the divergent regime.
+            log_alpha = jnp.clip(log_alpha, -20.0, 2.0)
 
         target_critic = soft_update(state.target_critic_params, critics_new,
                                     hp["tau"])

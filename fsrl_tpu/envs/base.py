@@ -86,8 +86,21 @@ class SafeEnv:
         return jnp.zeros((), bool)
 
     # --- vectorization helpers ---
-    def reset_vec(self, rng: Array, n_envs: int) -> EnvState:
-        return jax.vmap(self.reset)(jax.random.split(rng, n_envs))
+    def reset_vec(self, rng: Array, n_envs: int,
+                  stagger: bool = False) -> EnvState:
+        """Reset ``n_envs`` instances. With ``stagger=True`` the per-env
+        episode clocks start uniformly spread over ``[0, max_episode_steps)``
+        so truncations desynchronize: a lockstep-reset fleet would otherwise
+        complete ALL episodes at the same step, making episodic-cost
+        measurements (the PID multiplier's input) arrive in rare bursts
+        instead of the steady per-collect stream a host env fleet produces.
+        First episodes are correspondingly shorter; use only for training
+        states, never for episode-exact evaluation."""
+        state = jax.vmap(self.reset)(jax.random.split(rng, n_envs))
+        if stagger and n_envs > 1:
+            offsets = (jnp.arange(n_envs) * self.max_episode_steps) // n_envs
+            state = state.replace(t=offsets.astype(jnp.int32))
+        return state
 
     def step_vec(self, state: EnvState, action: Array) -> tuple[EnvState, Timestep]:
         return jax.vmap(self.step)(state, action)

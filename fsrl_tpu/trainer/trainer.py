@@ -94,7 +94,9 @@ class BaseTrainerTPU:
         self.rng = jax.random.PRNGKey(seed)
         self.rng, k_init, k_env = jax.random.split(self.rng, 3)
         self.state = decache(algo.init(k_init))
-        self.env_state = decache(env.reset_vec(k_env, n_envs))
+        # staggered episode clocks: steady episodic-cost measurements for the
+        # PID multiplier instead of lockstep truncation bursts
+        self.env_state = decache(env.reset_vec(k_env, n_envs, stagger=True))
         self.stats = decache(EpisodeStats.init(n_envs, env.num_costs))
         if self.mesh is not None:
             self.env_state = shard_env_state(self.mesh, self.env_state)
