@@ -29,7 +29,11 @@ AGENTS = {
     "trpol": (TRPOLagAgent, True, {"target_kl": 0.005}),
     "cpo": (CPOAgent, True, {}),
     "focops": (FOCOPSAgent, True, {}),
-    "ddpgl": (DDPGLagAgent, False, {}),
+    # softer PID than the reference's DDPG default (0.5, 0.001, 0.1): our
+    # 500-step episodes make the constraint error ~10x the reference env's
+    # scale, and kp=0.5 then slams the multiplier into a feasible/infeasible
+    # limit cycle (SAC's gains hold the cost at the limit cleanly)
+    "ddpgl": (DDPGLagAgent, False, {"lagrangian_pid": (0.05, 0.0005, 0.1)}),
     "sacl": (SACLagAgent, False, {}),
     "cvpo": (CVPOAgent, False, {}),
 }
