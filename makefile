@@ -4,7 +4,7 @@
 SHELL = /bin/bash
 PYTHONPATH_EXTRA = $(CURDIR)
 
-.PHONY: test test-fast lint format bench curves clean
+.PHONY: test test-fast lint format bench curves native clean
 
 # full suite on the 8-device virtual CPU mesh (conftest forces platform)
 test:
@@ -21,6 +21,11 @@ lint:
 
 bench:
 	python bench.py
+
+# rebuild the C++ grid-filter kernel (a prebuilt .so ships in-tree;
+# the Python fallback is used automatically when neither loads)
+native:
+	$(MAKE) -C fsrl_tpu/native
 
 curves:
 	PYTHONPATH=$(PYTHONPATH_EXTRA) python benchmarks/run_curves.py
