@@ -52,8 +52,14 @@ class BaseAgentTPU:
     multi_constraint = True
 
     def _build_algo(self, cost_limit, **kw):
+        import inspect
         if self.multi_constraint:
             kw.setdefault("num_costs", self.env.num_costs)
+        params = inspect.signature(self.algo_cls.__init__).parameters
+        if "episode_len" in params:
+            # lets process_rollout bound the truncation-bootstrap rows and
+            # run the GAE critic in one (T+1)-row pass instead of two
+            kw.setdefault("episode_len", self.env.max_episode_steps)
         return self.algo_cls(self.env.observation_size, self.env.action_size,
                              cost_limit=cost_limit, **kw)
 

@@ -48,6 +48,7 @@ def process_rollout(
     lam: float,
     gae_impl: str = "pscan",   # "pscan" (log-depth associative scan) | "scan"
     ret_rms=None,              # RunningMeanStd (K,) → reward normalization on
+    episode_len: int | None = None,   # env truncation horizon → 1-pass critic
 ) -> OnPolicyBatch:
     """GAE over the rollout segment.
 
@@ -55,11 +56,35 @@ def process_rollout(
     * the lambda-chain breaks at done steps; the segment tail is naturally
       truncated by the reverse scan (equivalent to the reference forcing
       ``end_flag=True`` at ``buffer.unfinished_index()``, base_policy.py:410-411).
+
+    Critic cost: by default the critic runs over both ``obs`` and ``obs_next``
+    (2 full passes, like the reference's two forwards, base_policy.py:420-423).
+    When ``episode_len`` (the env's truncation horizon) is given, one pass over
+    ``T+1`` rows suffices: ``obs_next[t] == obs[t+1]`` except at done rows,
+    terminated rows are value-masked to zero anyway, and the only rows needing
+    a true ``v(obs_next)`` are truncations — at most ``T // episode_len + 1``
+    per env column (truncation fires exactly at the horizon, so consecutive
+    truncations in a column are ≥ episode_len apart) — patched with one small
+    fixed-size gather+forward+scatter.
     """
     T, N = tr.reward.shape
     m = metrics_of(tr)                                # (T, N, K)
-    values = critic_apply(params, tr.obs)             # (T, N, K)
-    values_next = critic_apply(params, tr.obs_next)   # (T, N, K)
+    if episode_len is not None and T > 2:
+        n_boot = N * (T // int(episode_len) + 1)
+        ext = jnp.concatenate([tr.obs, tr.obs_next[-1:]], axis=0)  # (T+1,N,d)
+        values_ext = critic_apply(params, ext)        # (T+1, N, K)
+        values = values_ext[:-1]
+        values_next = values_ext[1:]
+        trunc = jnp.logical_and(tr.truncated, jnp.logical_not(tr.terminated))
+        idx = jnp.nonzero(trunc.reshape(-1), size=n_boot, fill_value=T * N)[0]
+        obs_next_flat = tr.obs_next.reshape((T * N,) + tr.obs_next.shape[2:])
+        v_boot = critic_apply(params, obs_next_flat[jnp.minimum(idx, T * N - 1)])
+        values_next = (values_next.reshape(T * N, -1)
+                       .at[idx].set(v_boot, mode="drop")
+                       .reshape(values_next.shape))
+    else:
+        values = critic_apply(params, tr.obs)             # (T, N, K)
+        values_next = critic_apply(params, tr.obs_next)   # (T, N, K)
     mask = jnp.logical_not(tr.terminated).astype(values.dtype)[..., None]
     values_next = values_next * mask
     end_flag = jnp.logical_or(tr.terminated, tr.truncated)

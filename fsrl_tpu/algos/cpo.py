@@ -78,12 +78,14 @@ class CPO:
         damping: float = 0.1,
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
+        episode_len: int | None = None,  # env truncation horizon -> 1-pass GAE critic
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = 1
         self.K = 2
         self.cost_limit = float(cost_limit)
         self.hp = dict(
+            episode_len=episode_len,
             target_kl=target_kl, backtrack_coeff=backtrack_coeff,
             max_backtracks=max_backtracks, optim_critic_iters=optim_critic_iters,
             l2_reg=l2_reg, gae_lambda=gae_lambda,
@@ -140,6 +142,7 @@ class CPO:
         batch = process_rollout(
             lambda p, o: self.critics.apply(p["critics"], o),
             state.params, tr, hp["gamma"], hp["gae_lambda"],
+            episode_len=hp["episode_len"],
         )
         adv = normalize_adv(batch.adv) if hp["norm_adv"] else batch.adv
         obs, act, logp_old = batch.obs, batch.act, batch.logp_old

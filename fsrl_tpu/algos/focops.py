@@ -75,12 +75,14 @@ class FOCOPS:
         n_minibatches: int = 4,
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
+        episode_len: int | None = None,  # env truncation horizon -> 1-pass GAE critic
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = 1
         self.K = 2
         self.cost_limit = float(cost_limit)
         self.hp = dict(
+            episode_len=episode_len,
             nu_max=nu_max, nu_lr=nu_lr, l2_reg=l2_reg, delta=delta, eta=eta,
             tem_lambda=tem_lambda, gae_lambda=gae_lambda,
             norm_adv=advantage_normalization, gamma=gamma, repeat=repeat,
@@ -147,6 +149,7 @@ class FOCOPS:
         batch = process_rollout(
             lambda p, o: self.critics.apply(p["critics"], o),
             state.params, tr, hp["gamma"], hp["gae_lambda"],
+            episode_len=hp["episode_len"],
         )
         # old dist params for exact KL (reference stores mean_old/std_old)
         old_dist_all = self.actor.apply(state.params["actor"], batch.obs)

@@ -79,6 +79,7 @@ class PPOLag:
         n_minibatches: int = 4,
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 → MXU mixed precision trunks
+        episode_len: int | None = None,  # env truncation horizon → 1-pass GAE critic
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -92,7 +93,7 @@ class PPOLag:
             rew_norm=reward_normalization,
             use_lagrangian=use_lagrangian, pid=tuple(lagrangian_pid),
             rescaling=rescaling, gamma=gamma, repeat=repeat,
-            n_minibatches=n_minibatches,
+            n_minibatches=n_minibatches, episode_len=episode_len,
         )
         self.deterministic_eval = deterministic_eval
         self.actor = GaussianActor(
@@ -168,12 +169,13 @@ class PPOLag:
             batch, ret_rms = process_rollout(
                 lambda p, o: self.critics.apply(p["critics"], o),
                 state.params, tr, hp["gamma"], hp["gae_lambda"],
-                ret_rms=state.ret_rms,
+                ret_rms=state.ret_rms, episode_len=hp["episode_len"],
             )
         else:
             batch = process_rollout(
                 lambda p, o: self.critics.apply(p["critics"], o),
                 state.params, tr, hp["gamma"], hp["gae_lambda"],
+                episode_len=hp["episode_len"],
             )
             ret_rms = state.ret_rms
 

@@ -78,6 +78,7 @@ class TRPOLag:
         repeat: int = 1,
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
+        episode_len: int | None = None,  # env truncation horizon -> 1-pass GAE critic
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -85,6 +86,7 @@ class TRPOLag:
         cl = [cost_limit] * num_costs if jnp.isscalar(cost_limit) else list(cost_limit)
         self.cost_limit = jnp.asarray(cl, jnp.float32)
         self.hp = dict(
+            episode_len=episode_len,
             target_kl=target_kl, backtrack_coeff=backtrack_coeff,
             max_backtracks=max_backtracks, optim_critic_iters=optim_critic_iters,
             gae_lambda=gae_lambda, norm_adv=advantage_normalization,
@@ -219,6 +221,7 @@ class TRPOLag:
         batch = process_rollout(
             lambda p, o: self.critics.apply(p["critics"], o),
             state.params, tr, hp["gamma"], hp["gae_lambda"],
+            episode_len=hp["episode_len"],
         )
         adv = normalize_adv(batch.adv) if hp["norm_adv"] else batch.adv
 

@@ -17,7 +17,6 @@ rewards, costs, terminals, timeouts.
 from __future__ import annotations
 
 import os
-import random
 from collections import defaultdict
 from typing import Optional
 
@@ -119,34 +118,44 @@ class TrajectoryBuffer:
 
     @staticmethod
     def filter_points(points: list, target_size: int) -> list:
-        """Grid-bucket the 2-D points and keep ~one per cell first, then fill
-        round-robin from random non-empty cells (reference traj_buf.py:119-161).
-        Uses the native C++ filter (fsrl_tpu/native) when available; identical
-        selection semantics, ~50x faster at large n."""
+        """Density-uniform downsample of 2-D points (the capability of the
+        reference's grid filter, traj_buf.py:119-161): bucket points into a
+        ~sqrt(target)-per-side grid over the (reward, cost) bounding box and
+        select breadth-first by within-cell depth, so every occupied cell
+        contributes one point before any cell contributes two.
+
+        The C++ implementation (``fsrl_tpu/native/grid_filter.cpp``) is the
+        primary path (~50x faster at large n); this vectorized numpy fallback
+        implements the same breadth-first-by-cell policy with randomized
+        within-cell order and random ties across cells at equal depth.
+        """
         from fsrl_tpu.native import grid_filter_native
-        native = grid_filter_native(np.asarray(points, dtype=np.float64),
-                                    target_size)
+        pts = np.asarray(points, dtype=np.float64)
+        native = grid_filter_native(pts, target_size)
         if native is not None:
             return native
-        pts = np.array(points)
-        grid_size = int(np.ceil(np.sqrt(target_size)))
-        rng = [(pts[:, i].min(), pts[:, i].max()) for i in range(2)]
-        cell = [max((r[1] - r[0]) / grid_size, 1e-12) for r in rng]
-        grid = defaultdict(list)
-        for i, p in enumerate(pts):
-            key = tuple(int((p[j] - rng[j][0]) // cell[j]) for j in range(2))
-            grid[key].append(i)
-        kept = []
-        for idxs in grid.values():
-            if idxs:
-                kept.append(idxs.pop())
-        nonempty = [c for c, idxs in grid.items() if idxs]
-        while len(kept) < target_size and nonempty:
-            c = random.choice(nonempty)
-            kept.append(grid[c].pop())
-            if not grid[c]:
-                nonempty.remove(c)
-        return kept[:target_size]
+        n = pts.shape[0]
+        if n <= target_size:
+            return list(range(n))
+        g = int(np.ceil(np.sqrt(target_size)))
+        lo, hi = pts.min(axis=0), pts.max(axis=0)
+        span = np.maximum(hi - lo, 1e-12)
+        cell_xy = np.minimum((pts - lo) / span * g, g).astype(np.int64)
+        cid = cell_xy[:, 0] * (g + 1) + cell_xy[:, 1]
+
+        rng = np.random.default_rng()
+        shuffle = rng.permutation(n)            # randomize within-cell order
+        by_cell = shuffle[np.argsort(cid[shuffle], kind="stable")]
+        sorted_cid = cid[by_cell]
+        # depth of each point within its cell (0 = the cell's first pick)
+        new_cell = np.r_[True, sorted_cid[1:] != sorted_cid[:-1]]
+        pos = np.arange(n)
+        cell_start = pos[new_cell][np.cumsum(new_cell) - 1]
+        depth = pos - cell_start
+        # breadth-first: all depth-0 points (one per occupied cell) rank ahead
+        # of any depth-1 point; ties at equal depth break randomly
+        pick = np.lexsort((rng.random(n), depth))[:target_size]
+        return by_cell[pick].tolist()
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:

@@ -79,6 +79,7 @@ class BaseTrainerTPU:
         seed: int = 0,
         verbose: bool = True,
         resume_from: Optional[str] = None,
+        log_every: int = 1,
     ):
         self.algo, self.env = algo, env
         self.logger = logger or DummyLogger()
@@ -89,6 +90,12 @@ class BaseTrainerTPU:
         self.save_model_interval = save_model_interval
         self.stop_fn = stop_fn
         self.verbose = verbose
+        # fetch train metrics to host every log_every collect iterations.
+        # Each _log_train is a blocking device_get (~24 ms through a TPU
+        # tunnel); with small collects that sync dominates wall clock, and
+        # log_every>1 lets iterations queue asynchronously between fetches.
+        self.log_every = max(1, int(log_every))
+        self._iter_count = 0
         self.mesh = mesh or (make_mesh() if use_default_mesh else None)
 
         self.rng = jax.random.PRNGKey(seed)
@@ -103,17 +110,16 @@ class BaseTrainerTPU:
             self.state = replicate_tree(self.mesh, self.state)
             self.stats = shard_env_state(self.mesh, self.stats)
 
+        self.epoch = 0
+        self.env_step = 0
         if resume_from:
-            # restore the full TrainState + env-step counter (the reference's
+            # restore the full TrainState + step counters (the reference's
             # resume_from_log is an unfinished TODO, base_trainer.py:160-164;
             # here the one-pytree state makes it trivial)
             from fsrl_tpu.utils.checkpoint import load_checkpoint
             self.state = load_checkpoint(resume_from, self.state)
-            _, env_step, _ = self.logger.restore_data()
-            self.env_step = env_step
-        self.epoch = 0
-        if not resume_from:
-            self.env_step = 0
+            epoch, env_step, _ = self.logger.restore_data()
+            self.epoch, self.env_step = epoch, env_step
         self.best_rew, self.best_cost = -np.inf, np.inf
         self.has_best = False
         self.start_time = time.time()
@@ -178,8 +184,12 @@ class BaseTrainerTPU:
 
         dur = time.time() - self.start_time
         speed = self.env_step / max(dur, 1e-9)
-        self.logger.store(tab="update", env_step=self.env_step, speed=speed,
-                          duration=dur)
+        grad_steps = getattr(self.state, "gradient_steps", None)
+        self.logger.store(
+            tab="update", env_step=self.env_step, speed=speed, duration=dur,
+            epoch=self.epoch,
+            gradient_step=0 if grad_steps is None else int(
+                jax.device_get(grad_steps)))
         info = dict(epoch=self.epoch, env_step=self.env_step,
                     best_reward=self.best_rew, best_cost=self.best_cost,
                     test_reward=rew, test_cost=cost, test_length=length,
@@ -200,6 +210,9 @@ class BaseTrainerTPU:
 
     # shared metric push
     def _log_train(self, stats: EpisodeStats, metrics: dict):
+        self._iter_count += 1
+        if self._iter_count % self.log_every:
+            return  # skip the blocking device_get; iterations queue async
         # ONE device->host transfer for everything: per-scalar float() calls
         # each pay a full device roundtrip (24+ ms through a TPU tunnel),
         # which capped the whole trainer loop at ~10k env-steps/s.

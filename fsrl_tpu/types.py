@@ -207,6 +207,15 @@ def minibatch_scan(
     minibatch composition is uniformly random at tile level — statistically
     equivalent for SGD at these minibatch sizes. ``tile_size=1`` recovers the
     exact element-level shuffle (the default for small batches).
+
+    Remainder semantics (vs the reference's ``merge_last=True`` which grows
+    the last minibatch instead): when ``size`` is not divisible by
+    ``n_minibatches * tile_size``, up to ``n_minibatches * tile_size - 1``
+    samples are EXCLUDED from this epoch. Ragged minibatches would break the
+    static shapes ``lax.scan`` needs, so exclusion is the jit-native choice.
+    Which samples are excluded is re-randomized every call (dropped tiles are
+    chosen by the permutation; the sub-tile tail is randomized by a rolled
+    start offset), so no sample is systematically starved across epochs.
     """
     import numpy as np
 
@@ -220,8 +229,17 @@ def minibatch_scan(
     usable_tiles = (nt // n_minibatches) * n_minibatches
     tiles_per_mb = usable_tiles // n_minibatches
 
-    perm = jax.random.permutation(rng, nt)[: usable_tiles]
+    rng, k_perm, k_roll = jax.random.split(rng, 3)
+    perm = jax.random.permutation(k_perm, nt)[: usable_tiles]
     perm = perm.reshape(n_minibatches, tiles_per_mb)
+
+    if tile_size > 1 and size % tile_size != 0:
+        # rows beyond nt*tile_size never make it into a tile; rotate the
+        # batch by a random offset so the excluded tail varies per epoch
+        # (one extra HBM pass, only paid in the non-divisible case)
+        off = jax.random.randint(k_roll, (), 0, size)
+        batch = jax.tree.map(lambda x: jnp.roll(x, off, axis=0), batch)
+        leaves = jax.tree.leaves(batch)
 
     if tile_size == 1:
         mbs = jax.tree.map(lambda x: x[perm], batch)

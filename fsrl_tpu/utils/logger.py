@@ -192,17 +192,21 @@ class TensorboardLogger(BaseLogger):
         self.writer.flush()
 
     def restore_data(self) -> tuple[int, int, int]:
+        """Recover (epoch, env_step, gradient_step) from the event files —
+        the reference's resume hook (``tb_logger.py:50-73``). The trainer
+        logs all three as scalar values under the ``update/`` tab."""
         try:
             from tensorboard.backend.event_processing import event_accumulator
             ea = event_accumulator.EventAccumulator(self.log_dir)
             ea.Reload()
-            def last(tag):
+            def last_value(tag):
                 try:
-                    return int(ea.Scalars(tag)[-1].step)
+                    return int(ea.Scalars(tag)[-1].value)
                 except Exception:
                     return 0
-            step = last("update/env_step")
-            return 0, step, 0
+            return (last_value("update/epoch"),
+                    last_value("update/env_step"),
+                    last_value("update/gradient_step"))
         except Exception:
             return 0, 0, 0
 

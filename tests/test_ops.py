@@ -212,3 +212,82 @@ def test_mlp_bf16_compute_path():
     assert out.dtype == jnp.float32
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+# ---------------------------------------------------------------------------
+# minibatch_scan remainder semantics + process_rollout 1-pass critic path
+# ---------------------------------------------------------------------------
+
+def test_minibatch_scan_nondivisible_drops_randomized():
+    """When size % (n_minibatches * tile_size) != 0, minibatch_scan excludes
+    the remainder — each sample appears at most once per epoch, and WHICH
+    samples are excluded varies with the rng (no systematic starvation)."""
+    from fsrl_tpu.types import minibatch_scan
+    size, n_mb, tile = 103, 4, 5          # usable = 100, 3 dropped per epoch
+    batch = {"x": jnp.arange(size, dtype=jnp.float32)[:, None],
+             "y": jnp.arange(size, dtype=jnp.int32)}
+    def body(c, mb):
+        return c, mb["x"][:, 0].astype(jnp.int32)
+
+    dropped_sets = []
+    for seed in range(6):
+        _, out = minibatch_scan(jax.random.PRNGKey(seed), batch, n_mb, body,
+                                0, tile_size=tile)
+        seen = np.sort(np.asarray(out).ravel())
+        assert seen.size == (size // tile // n_mb) * n_mb * tile == 100
+        assert len(np.unique(seen)) == seen.size          # once per epoch
+        dropped_sets.append(frozenset(range(size)) - frozenset(seen.tolist()))
+    assert len(set(dropped_sets)) > 1      # excluded tail is re-randomized
+    assert frozenset().union(*dropped_sets) != dropped_sets[0]
+
+
+def test_minibatch_scan_exact_when_divisible():
+    from fsrl_tpu.types import minibatch_scan
+    size, n_mb, tile = 96, 4, 4
+    batch = {"x": jnp.arange(size, dtype=jnp.float32)[:, None]}
+    _, out = minibatch_scan(jax.random.PRNGKey(0), batch, n_mb,
+                            lambda c, mb: (c, mb["x"][:, 0]), 0,
+                            tile_size=tile)
+    seen = np.sort(np.asarray(out).ravel())
+    np.testing.assert_array_equal(seen, np.arange(size, dtype=np.float32))
+
+
+def test_process_rollout_one_pass_critic_matches_two_pass():
+    """episode_len path (shifted (T+1)-row values + truncation patch) must be
+    numerically identical to the reference-style two-pass critic."""
+    from fsrl_tpu.algos.common import process_rollout
+    from fsrl_tpu.types import Transition
+
+    T, N, D, L = 12, 4, 3, 5
+    rng = np.random.RandomState(0)
+    # per-column step clocks staggered so truncation hits mid-segment
+    clock = (np.arange(T)[:, None] + np.array([0, 1, 2, 4])[None, :])
+    truncated = ((clock % L) == L - 1)
+    terminated = np.zeros((T, N), bool)
+    terminated[3, 1] = True                # early termination resets a column
+    # rebuild that column's clock after the termination
+    for t in range(4, T):
+        clock[t, 1] = clock[t - 1, 1] + 1 if not truncated[t - 1, 1] else 0
+    obs = rng.randn(T + 1, N, D).astype(np.float32)
+    obs_next = obs[1:].copy()
+    done = truncated | terminated
+    # at done rows the stored obs_next is the terminal obs, NOT obs[t+1]
+    obs_next[done] = rng.randn(int(done.sum()), D).astype(np.float32)
+
+    tr = Transition(
+        obs=jnp.asarray(obs[:-1]), act=jnp.zeros((T, N, 2)),
+        obs_next=jnp.asarray(obs_next),
+        reward=jnp.asarray(rng.randn(T, N).astype(np.float32)),
+        cost=jnp.asarray(rng.rand(T, N, 1).astype(np.float32)),
+        terminated=jnp.asarray(terminated), truncated=jnp.asarray(truncated),
+        logp=jnp.zeros((T, N)),
+    )
+    W = jnp.asarray(rng.randn(D, 2).astype(np.float32))  # 2-channel critic
+    critic = lambda params, o: jnp.tanh(o @ params)
+
+    ref = process_rollout(critic, W, tr, 0.99, 0.95)
+    fast = process_rollout(critic, W, tr, 0.99, 0.95, episode_len=L)
+    np.testing.assert_allclose(np.asarray(ref.adv), np.asarray(fast.adv),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.ret), np.asarray(fast.ret),
+                               rtol=1e-6, atol=1e-6)

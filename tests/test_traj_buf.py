@@ -102,3 +102,19 @@ def test_native_grid_filter_matches_python_semantics():
     assert len(set(kept)) == 256          # no duplicates
     far = sum(1 for i in kept if i >= 5000)
     assert far >= 45                      # sparse region survives
+
+
+def test_grid_filter_python_fallback(monkeypatch):
+    """The vectorized numpy fallback must keep the same coverage property as
+    the native C++ filter (breadth-first by cell depth)."""
+    import fsrl_tpu.native as native
+    monkeypatch.setattr(native, "_TRIED", True)
+    monkeypatch.setattr(native, "_LIB", None)
+    rng = np.random.RandomState(1)
+    pts = list(rng.randn(2000, 2) * 0.1) + \
+        list(rng.uniform(5, 50, size=(30, 2)))
+    kept = TrajectoryBuffer.filter_points(pts, 100)
+    assert len(kept) == 100 and len(set(kept)) == 100
+    assert sum(1 for i in kept if i >= 2000) >= 25
+    # n <= target: identity passthrough
+    assert TrajectoryBuffer.filter_points([[0.0, 0.0], [1.0, 1.0]], 5) == [0, 1]
