@@ -55,6 +55,16 @@ def main():
             state, env_state, stats, rng)
     jax.block_until_ready(metrics["loss/total"])
 
+    # FLOPs per iteration from XLA's own cost model -> MFU estimate
+    flops_per_iter = None
+    try:
+        compiled = train_iter.lower(state, env_state, stats, rng).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_iter = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -64,12 +74,20 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_s = iters * T * N / dt
-    print(json.dumps({
+    out = {
         "metric": "ppo_lag_train_env_steps_per_s",
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s (rollout+update fused, SafetyCarCircle-v0)",
         "vs_baseline": round(steps_per_s / FSRL_BASELINE_STEPS_PER_S, 2),
-    }))
+    }
+    if flops_per_iter:
+        # TPU v5e peak ~197 TFLOP/s bf16; MLP-scale safe RL is latency/HBM
+        # bound, so single-digit MFU is expected — reported for honesty, and
+        # to catch regressions in the compute path
+        tflops = flops_per_iter * iters / dt / 1e12
+        out["tflops_per_s"] = round(tflops, 2)
+        out["mfu_pct_bf16_v5e"] = round(100.0 * tflops / 197.0, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

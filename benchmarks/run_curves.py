@@ -54,6 +54,7 @@ class CurveCfg:
     algos: str = "ppol,trpol,cpo,focops,ddpgl,sacl,cvpo"
     seeds: str = "0"
     outdir: str = "benchmarks/results"
+    log_every: int = 5              # train-metric fetch cadence (collects)
 
 
 def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
@@ -67,6 +68,7 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
     common = dict(
         epochs=epochs, step_per_epoch=cfg.step_per_epoch,
         episode_per_test=cfg.episode_per_test, verbose=False,
+        log_every=cfg.log_every,
     )
     if onpolicy:
         common.update(n_envs=cfg.n_envs,

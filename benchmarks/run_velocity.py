@@ -1,0 +1,124 @@
+"""Real-physics benchmark: train on Safety-Gymnasium-style MuJoCo velocity
+tasks through the host-environment path (true MuJoCo dynamics, jitted
+learner) and record reward/cost curves — the reproduction of the reference's
+velocity-suite protocol (``docs/tutorials/benchmark.rst:47-78``, 5 tasks,
+cost_limit 25).
+
+This is the framework's real-dynamics parity evidence: unlike the JAX Bullet
+analogs, these environments are NOT self-made.
+
+Usage:
+    python benchmarks/run_velocity.py --task SafetyHalfCheetahVelocity-v1 \
+        --algos ppol,sacl --budget 1000000 --seeds 0 --outdir benchmarks/results_velocity
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from fsrl_tpu.config.cli import cli
+
+
+@dataclass
+class VelCurveCfg:
+    task: str = "SafetyHalfCheetahVelocity-v1"
+    cost_limit: float = 25.0
+    budget: int = 1000000           # on-policy env-step budget
+    off_budget: int = 300000        # off-policy env-step budget
+    step_per_epoch: int = 20000
+    n_envs: int = 10
+    steps_per_collect: int = 500
+    off_n_envs: int = 4
+    off_steps_per_collect: int = 100
+    episode_per_test: int = 4
+    algos: str = "ppol,sacl"
+    seeds: str = "0"
+    outdir: str = "benchmarks/results_velocity"
+
+
+def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
+    from fsrl_tpu.algos.ppo_lag import PPOLag
+    from fsrl_tpu.algos.sac_lag import SACLag
+    from fsrl_tpu.envs.velocity import make_velocity_vector_env
+    from fsrl_tpu.trainer.host_trainer import (HostOffpolicyTrainer,
+                                               HostOnpolicyTrainer)
+
+    onpolicy = key == "ppol"
+    budget = cfg.budget if onpolicy else cfg.off_budget
+    n_envs = cfg.n_envs if onpolicy else cfg.off_n_envs
+    venv = make_velocity_vector_env(cfg.task, n_envs=n_envs)
+    epochs = max(1, budget // cfg.step_per_epoch)
+    t0 = time.time()
+    if onpolicy:
+        algo = PPOLag(venv.observation_size, venv.action_size,
+                      cost_limit=cfg.cost_limit, episode_len=1000)
+        trainer = HostOnpolicyTrainer(
+            algo, venv, epochs=epochs, step_per_epoch=cfg.step_per_epoch,
+            steps_per_collect=cfg.steps_per_collect,
+            episode_per_test=cfg.episode_per_test,
+            cost_limit=cfg.cost_limit, seed=seed, verbose=False)
+    else:
+        algo = SACLag(venv.observation_size, venv.action_size,
+                      cost_limit=cfg.cost_limit)
+        trainer = HostOffpolicyTrainer(
+            algo, venv, epochs=epochs, step_per_epoch=cfg.step_per_epoch,
+            steps_per_collect=cfg.off_steps_per_collect,
+            episode_per_test=cfg.episode_per_test,
+            cost_limit=cfg.cost_limit, seed=seed, verbose=False)
+
+    curve = {"env_step": [], "reward": [], "cost": []}
+    for epoch, stats, info in trainer:
+        curve["env_step"].append(info["env_step"])
+        curve["reward"].append(info["test_reward"])
+        curve["cost"].append(info["test_cost"])
+        print(f"  epoch {epoch}/{epochs} step {info['env_step']} "
+              f"rew {info['test_reward']:.1f} cost {info['test_cost']:.1f} "
+              f"({info['speed']:,.0f} st/s)", flush=True)
+    wall = time.time() - t0
+    venv.close()
+    return {
+        "algo": key, "task": cfg.task, "seed": seed, "physics": "mujoco",
+        "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
+        "steps_per_s": budget / wall,
+        "final_reward": curve["reward"][-1], "final_cost": curve["cost"][-1],
+        "best_reward": trainer.best_rew, "best_cost": trainer.best_cost,
+        "curve": curve,
+    }
+
+
+@cli(VelCurveCfg)
+def main(cfg: VelCurveCfg):
+    os.makedirs(cfg.outdir, exist_ok=True)
+    rows = []
+    for key in cfg.algos.split(","):
+        for seed in (int(s) for s in cfg.seeds.split(",")):
+            print(f"=== {key} seed {seed} on {cfg.task} ===", flush=True)
+            res = run_one(cfg, key, seed)
+            path = os.path.join(cfg.outdir, f"{cfg.task}-{key}-s{seed}.json")
+            with open(path, "w") as f:
+                json.dump(res, f)
+            rows.append(res)
+            print(f"    reward {res['final_reward']:8.1f}  "
+                  f"cost {res['final_cost']:6.1f} (limit {cfg.cost_limit})  "
+                  f"{res['steps_per_s']:,.0f} steps/s  {res['wall_s']:.0f}s",
+                  flush=True)
+
+    md = [f"# Velocity curves (real MuJoCo): {cfg.task} "
+          f"(cost_limit={cfg.cost_limit})", "",
+          "| algo | seed | budget | final reward | final cost | best reward "
+          "| best cost | steps/s |", "|---|---|---|---|---|---|---|---|"]
+    for r in rows:
+        md.append(f"| {r['algo']} | {r['seed']} | {r['budget']:,} | "
+                  f"{r['final_reward']:.1f} | {r['final_cost']:.1f} | "
+                  f"{r['best_reward']:.1f} | {r['best_cost']:.1f} | "
+                  f"{r['steps_per_s']:,.0f} |")
+    with open(os.path.join(cfg.outdir, f"summary-{cfg.task}.md"), "w") as f:
+        f.write("\n".join(md) + "\n")
+    print("\n".join(md))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,12 +25,57 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Array = jax.Array
 
 DP_AXIS = "dp"
+HOST_AXIS = "host"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DP_AXIS) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
+
+
+def init_multihost(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_ids=None,
+) -> None:
+    """Bring up cross-host collectives (the DCN layer).
+
+    One call per host process before any jax computation. On TPU pods the
+    runtime wires ICI+DCN automatically; on CPU/GPU JAX falls back to Gloo
+    over TCP — which is what the 2-process CI dryrun exercises
+    (``tests/test_multihost.py``). After this, ``jax.devices()`` is GLOBAL
+    (every device of every process) and ``jax.process_count() ==
+    num_processes``.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def make_multihost_mesh(axis: str = DP_AXIS,
+                        hierarchical: bool = False) -> Mesh:
+    """Global mesh spanning every device of every initialized process.
+
+    ``hierarchical=False`` (default): one flat ``dp`` axis over all global
+    devices, ordered host-major so each host's shard block is contiguous —
+    gradient all-reduces then decompose into intra-host reductions over
+    ICI plus one cross-host exchange over DCN (GSPMD does this split).
+
+    ``hierarchical=True``: a 2-D ``(host, dp)`` mesh for layouts that want
+    explicit control over which collectives cross DCN (e.g. per-host stat
+    reduction before a small cross-host psum).
+    """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    if hierarchical:
+        n_hosts = jax.process_count()
+        arr = np.array(devs).reshape(n_hosts, -1)
+        return Mesh(arr, (HOST_AXIS, axis))
+    return Mesh(np.array(devs), (axis,))
 
 
 def env_sharding(mesh: Mesh, batch_axis: int = 0, axis: str = DP_AXIS

@@ -306,15 +306,29 @@ class OnpolicyTrainerTPU(BaseTrainerTPU):
 class OffpolicyTrainerTPU(BaseTrainerTPU):
     """collect segment → PID pre-update → ``round(update_per_step * steps)``
     sampled-minibatch gradient steps against the persistent ring buffer
-    (``fsrl/trainer/offpolicy.py:93-106``)."""
+    (``fsrl/trainer/offpolicy.py:93-106``).
+
+    Dispatch structure: ONE jitted collect program (rollout + buffer append +
+    PID/pre hooks + n-step view build) plus a jitted ``update_chunk`` program
+    scanning ``update_chunk`` gradient steps, dispatched ceil(n_updates/chunk)
+    times per collect. A single fused rollout+scan(n_updates) graph is
+    avoided deliberately: at the reference schedule (e.g. 160 updates per
+    800-step collect) that monolith took XLA ~5 minutes to compile on TPU,
+    while the chunked programs compile in seconds and the host-side chunk
+    loop costs nothing — dispatches are async and only the metric fetch
+    (every ``log_every`` collects) synchronizes."""
 
     def __init__(self, *args, buffer_size: int = 100000,
-                 update_per_step: float = 0.2, **kwargs):
+                 update_per_step: float = 0.2, update_chunk: int = 32,
+                 **kwargs):
         self.buffer_size = buffer_size
         self.update_per_step = update_per_step
+        self.update_chunk = update_chunk
         super().__init__(*args, **kwargs)
 
     def _build(self):
+        from functools import partial
+
         env, algo = self.env, self.algo
         assert hasattr(algo, "update_step"), (
             f"{type(algo).__name__} has no update_step — "
@@ -334,14 +348,19 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
                 data=jax.tree.map(place, self.buf_state.data))
         self.n_updates = max(1, int(round(
             self.update_per_step * self.T * self.n_envs)))
+        chunk = max(1, min(self.n_updates, self.update_chunk))
+        self.chunk_sizes = [chunk] * (self.n_updates // chunk)
+        if self.n_updates % chunk:
+            self.chunk_sizes.append(self.n_updates % chunk)
         rollout = make_rollout_fn(env, algo.act_fn, self.T)
         buffer = self.buffer
-        n_updates = self.n_updates
         has_pre = hasattr(algo, "pre_update")        # CVPO-style hooks
         has_lag = hasattr(algo, "update_lagrangian")
 
-        def train_iter(state, env_state, stats, buf_state, rng):
-            rng, k1, k2 = jax.random.split(rng, 3)
+        from fsrl_tpu.algos.offpolicy_base import make_nstep_view
+
+        def collect_fn(state, env_state, stats, buf_state, rng):
+            rng, k1 = jax.random.split(rng)
             res = rollout(state.params, env_state, stats.reset_aggregates(), k1)
             buf_state = buffer.add_segment(buf_state, res.transitions)
             if has_lag:
@@ -349,27 +368,34 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
                     state, res.stats.mean_cost, res.stats.n_episodes)
             if has_pre:
                 state = algo.pre_update(state)
-
-            from fsrl_tpu.algos.offpolicy_base import make_nstep_view
             view = make_nstep_view(buffer, buf_state)   # once per collect
+            return state, res.env_state, res.stats, buf_state, view, rng
 
+        def update_chunk_fn(state, buf_state, view, rng, n):
             def upd(s, key):
-                s, m = algo.update_step(s, buffer, buf_state, key, view=view)
-                return s, m
+                return algo.update_step(s, buffer, buf_state, key, view=view)
+            state, ms = jax.lax.scan(upd, state, jax.random.split(rng, n))
+            return state, jax.tree.map(lambda x: x[-1], ms)
 
-            state, ms = jax.lax.scan(upd, state,
-                                     jax.random.split(k2, n_updates))
-            if hasattr(algo, "post_update"):
-                state = algo.post_update(state)
-            metrics = jax.tree.map(lambda x: x[-1], ms)
-            return state, res.env_state, res.stats, buf_state, rng, metrics
-
-        self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2, 3))
+        self.collect_fn = jax.jit(collect_fn, donate_argnums=(0, 1, 2, 3))
+        self.update_chunk_fns = {
+            n: jax.jit(partial(update_chunk_fn, n=n), donate_argnums=(0,))
+            for n in set(self.chunk_sizes)}
+        self.post_fn = (jax.jit(algo.post_update, donate_argnums=(0,))
+                        if hasattr(algo, "post_update") else None)
 
     def _run_iter(self):
-        (self.state, self.env_state, self.stats, self.buf_state, self.rng,
-         metrics) = self.train_iter(self.state, self.env_state, self.stats,
-                                    self.buf_state, self.rng)
+        (self.state, self.env_state, self.stats, self.buf_state, view,
+         self.rng) = self.collect_fn(self.state, self.env_state, self.stats,
+                                     self.buf_state, self.rng)
+        self.rng, k = jax.random.split(self.rng)
+        keys = jax.random.split(k, len(self.chunk_sizes))
+        metrics = {}
+        for i, n in enumerate(self.chunk_sizes):
+            self.state, metrics = self.update_chunk_fns[n](
+                self.state, self.buf_state, view, keys[i])
+        if self.post_fn is not None:
+            self.state = self.post_fn(self.state)
         self._log_train(self.stats, metrics)
         return metrics
 

@@ -34,11 +34,11 @@ def test_onpolicy_agent_learns_unconstrained(agent_cls, kw):
     agent = agent_cls(TASK, cost_limit=9999.0, seed=0, **kw)
     info = agent.learn(
         epochs=8, step_per_epoch=5000, n_envs=10, steps_per_collect=500,
-        episode_per_test=4, reward_threshold=150.0, verbose=False,
+        episode_per_test=4, reward_threshold=300.0, verbose=False,
     )
-    assert info["best_reward"] > 150.0, f"{agent_cls.name}: {info}"
+    assert info["best_reward"] > 300.0, f"{agent_cls.name}: {info}"
     rew, _, _ = agent.evaluate(n_episodes=4)
-    assert rew > 150.0, f"{agent_cls.name} eval reward {rew}"
+    assert rew > 250.0, f"{agent_cls.name} eval reward {rew}"
 
 
 @pytest.mark.parametrize("agent_cls,kw", OFFPOLICY,
@@ -63,7 +63,27 @@ def test_ppo_lag_respects_constraint():
     )
     rew, _, cost = agent.evaluate(n_episodes=10)
     assert rew > 100.0, f"did not learn: {info}"
-    assert cost <= 2.0 * 25.0, f"constraint grossly violated: cost={cost}"
+    assert cost <= 1.2 * 25.0, f"constraint violated: cost={cost}"
+
+
+@pytest.mark.parametrize("agent_cls,kw", [
+    (SACLagAgent, {}),
+    (CVPOAgent, {}),
+], ids=["SACLagAgent", "CVPOAgent"])
+def test_offpolicy_agent_respects_constraint(agent_cls, kw):
+    """Constrained end-to-end gates for the two algorithms whose stability
+    actually broke in round 1 (bounded alpha / dual hardening): the
+    feasibility-first best checkpoint must combine real reward with
+    cost <= 1.2x limit."""
+    agent = agent_cls(TASK, cost_limit=25.0, seed=0, **kw)
+    info = agent.learn(
+        epochs=8, step_per_epoch=5000, n_envs=4, steps_per_collect=100,
+        episode_per_test=10, buffer_size=50000, update_per_step=0.2,
+        verbose=False,
+    )
+    assert info["best_reward"] > 80.0, f"{agent_cls.name}: {info}"
+    assert info["best_cost"] <= 1.2 * 25.0, (
+        f"{agent_cls.name} infeasible best: {info}")
 
 
 def test_ppo_lag_multi_constraint():

@@ -1,0 +1,48 @@
+"""Multi-host (multi-process) dryrun: 2 OS processes x 2 virtual CPU devices
+each, joined by ``jax.distributed`` (Gloo over TCP — the CI stand-in for
+DCN), running one full data-parallel PPO-Lag train step over the 4-device
+global mesh. SURVEY.md §2.9/§7.8: the reference has no distributed layer at
+all; this is the new framework's cross-host path."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dryrun():
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=570)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MHOK"):
+                _, pid_s, loss_s = line.split()
+                losses[int(pid_s)] = float(loss_s)
+    assert set(losses) == {0, 1}, outs
+    # the replicated train state must yield the identical loss on both hosts
+    assert losses[0] == losses[1], losses
