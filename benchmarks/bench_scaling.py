@@ -33,14 +33,20 @@ def main():
     p.add_argument("--horizon", type=int, default=128)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--task", type=str, default="SafetyCarCircle-v0")
+    p.add_argument("--out", type=str, default="benchmarks/results_scaling.json")
     args = p.parse_args()
     sizes = [int(s) for s in args.devices.split(",")]
 
-    # force a CPU host-platform mesh BEFORE importing jax
+    # force a CPU host-platform mesh BEFORE importing jax; single-threaded
+    # eigen so each virtual device maps to ~one core and weak scaling up to
+    # the physical core count is a fair measurement (beyond it, devices
+    # timeshare cores and the numbers measure oversubscription, not the
+    # program -- flagged in the output)
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={max(sizes)}")
+            flags + f" --xla_force_host_platform_device_count={max(sizes)}"
+            + " --xla_cpu_multi_thread_eigen=false")
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
@@ -60,7 +66,7 @@ def main():
         N = args.envs_per_dev * n_dev
         T = args.horizon
         algo = PPOLag(env.observation_size, env.action_size, cost_limit=10.0,
-                      repeat=4, n_minibatches=4)
+                      repeat=4, n_minibatches=4, dp_blocks=n_dev)
         rng = jax.random.PRNGKey(0)
         state = replicate_tree(mesh, algo.init(rng))
         env_state = shard_env_state(mesh, env.reset_vec(rng, N))
@@ -96,10 +102,28 @@ def main():
         }))
 
     base = results[0][1] / results[0][0]
-    print("\nn_dev  steps/s      per-dev      efficiency")
+    n_cores = os.cpu_count() or 1
+    print(f"\nphysical cores: {n_cores} "
+          f"(rows with n_dev > cores are oversubscribed)")
+    print("n_dev  steps/s      per-dev      efficiency")
+    rows = []
     for n_dev, sps in results:
         eff = sps / n_dev / base
-        print(f"{n_dev:>5}  {sps:>11.0f}  {sps / n_dev:>11.0f}  {eff:>9.1%}")
+        over = n_dev > n_cores
+        rows.append({"n_devices": n_dev, "env_steps_per_s": round(sps, 1),
+                     "efficiency_vs_1dev": round(eff, 4),
+                     "oversubscribed": over})
+        print(f"{n_dev:>5}  {sps:>11.0f}  {sps / n_dev:>11.0f}  {eff:>9.1%}"
+              + ("  [oversubscribed]" if over else ""))
+    with open(args.out, "w") as f:
+        json.dump({"task": args.task, "envs_per_dev": args.envs_per_dev,
+                   "horizon": args.horizon, "physical_cores": n_cores,
+                   "backend": "cpu-virtual-mesh",
+                   "note": "same GSPMD program as a real slice; rows beyond "
+                           "the physical core count measure core "
+                           "timesharing, not the program", "rows": rows}, f,
+                  indent=1)
+    print("wrote", args.out)
 
 
 if __name__ == "__main__":

@@ -103,6 +103,10 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
         "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
         "steps_per_s": budget / wall,
         "final_reward": rew, "final_cost": cost, "final_length": length,
+        # feasibility-first best checkpoint (the reference's model-selection
+        # rule, base_trainer.py:247-262) -- what a user would deploy
+        "best_reward": float(trainer.best_rew),
+        "best_cost": float(trainer.best_cost),
         "curve": curve,
     }
 
@@ -114,7 +118,17 @@ def main(cfg: CurveCfg):
     for key in cfg.algos.split(","):
         for seed in (int(s) for s in cfg.seeds.split(",")):
             print(f"=== {key} seed {seed} on {cfg.task} ===", flush=True)
-            res = run_one(cfg, key, seed)
+            res = None
+            for attempt in range(3):   # remote-compile RPCs can be flaky
+                try:
+                    res = run_one(cfg, key, seed)
+                    break
+                except Exception as e:
+                    print(f"    attempt {attempt}: {type(e).__name__}: "
+                          f"{str(e)[:200]}", flush=True)
+            if res is None:
+                print(f"    SKIPPED {key}-s{seed} after 3 attempts", flush=True)
+                continue
             path = os.path.join(cfg.outdir, f"{cfg.task}-{key}-s{seed}.json")
             with open(path, "w") as f:
                 json.dump(res, f)
@@ -126,11 +140,14 @@ def main(cfg: CurveCfg):
 
     # summary markdown
     md = [f"# Curves: {cfg.task} (cost_limit={cfg.cost_limit})", "",
-          "| algo | seed | budget | final reward | final cost | steps/s | wall |",
-          "|---|---|---|---|---|---|---|"]
+          "| algo | seed | budget | final reward | final cost | "
+          "best reward | best cost | steps/s | wall |",
+          "|---|---|---|---|---|---|---|---|---|"]
     for r in rows:
         md.append(f"| {r['algo']} | {r['seed']} | {r['budget']:,} | "
                   f"{r['final_reward']:.1f} | {r['final_cost']:.1f} | "
+                  f"{r.get('best_reward', float('nan')):.1f} | "
+                  f"{r.get('best_cost', float('nan')):.1f} | "
                   f"{r['steps_per_s']:,.0f} | {r['wall_s']:.0f}s |")
     with open(os.path.join(cfg.outdir, f"summary-{cfg.task}.md"), "w") as f:
         f.write("\n".join(md) + "\n")

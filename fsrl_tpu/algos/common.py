@@ -103,7 +103,14 @@ def process_rollout(
         adv, ret = gae_fn(m, values, values_next, end_flag, gamma, lam)
         new_rms = None
 
-    flat = lambda x: x.reshape((T * N,) + x.shape[2:])
+    # ENV-MAJOR flatten: (T, N, ...) -> (N*T, ...) with each env column's
+    # rows contiguous. Under a dp mesh (env axis sharded) this keeps every
+    # flat row on the device that produced it, so the whole update partitions
+    # instead of XLA all-gathering the batch — time-major (T*N) interleaves
+    # shards row-by-row and forces the update to run replicated (measured: 6
+    # full-batch all-gathers on a 2-device mesh). Update math is
+    # permutation-invariant, so single-device numerics are unchanged.
+    flat = lambda x: jnp.swapaxes(x, 0, 1).reshape((N * T,) + x.shape[2:])
     batch = OnPolicyBatch(
         obs=flat(tr.obs), act=flat(tr.act), logp_old=flat(tr.logp),
         adv=flat(adv), ret=flat(ret), value_old=flat(values),

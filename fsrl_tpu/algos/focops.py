@@ -76,6 +76,7 @@ class FOCOPS:
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
         episode_len: int | None = None,  # env truncation horizon -> 1-pass GAE critic
+        dp_blocks: int = 1,   # dp mesh size -> block-local minibatch shuffle
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = 1
@@ -83,6 +84,7 @@ class FOCOPS:
         self.cost_limit = float(cost_limit)
         self.hp = dict(
             episode_len=episode_len,
+            dp_blocks=dp_blocks,
             nu_max=nu_max, nu_lr=nu_lr, l2_reg=l2_reg, delta=delta, eta=eta,
             tem_lambda=tem_lambda, gae_lambda=gae_lambda,
             norm_adv=advantage_normalization, gamma=gamma, repeat=repeat,
@@ -202,7 +204,8 @@ class FOCOPS:
             ap, aopt, cp, copt, stopped, gsteps = carry
             (ap, aopt, cp, copt, stopped, gsteps), auxes = minibatch_scan(
                 key, full, hp["n_minibatches"], mb_body,
-                (ap, aopt, cp, copt, stopped, gsteps))
+                (ap, aopt, cp, copt, stopped, gsteps),
+                n_blocks=hp["dp_blocks"])
             stopped = jnp.logical_or(stopped,
                                      jnp.mean(auxes["kl"]) > hp["delta"])
             return (ap, aopt, cp, copt, stopped, gsteps), auxes

@@ -80,6 +80,7 @@ class PPOLag:
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 → MXU mixed precision trunks
         episode_len: int | None = None,  # env truncation horizon → 1-pass GAE critic
+        dp_blocks: int = 1,   # dp mesh size → block-local minibatch shuffle
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -94,6 +95,7 @@ class PPOLag:
             use_lagrangian=use_lagrangian, pid=tuple(lagrangian_pid),
             rescaling=rescaling, gamma=gamma, repeat=repeat,
             n_minibatches=n_minibatches, episode_len=episode_len,
+            dp_blocks=dp_blocks,
         )
         self.deterministic_eval = deterministic_eval
         self.actor = GaussianActor(
@@ -242,6 +244,7 @@ class PPOLag:
             (params, opt_state, stopped, gsteps), auxes = minibatch_scan(
                 key, batch, hp["n_minibatches"], mb_body,
                 (params, opt_state, stopped, gsteps),
+                n_blocks=hp["dp_blocks"],
             )
             kl_mean = jnp.mean(auxes["kl"])
             stopped = jnp.logical_or(stopped, kl_mean > 1.5 * hp["target_kl"])

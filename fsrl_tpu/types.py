@@ -192,6 +192,7 @@ def minibatch_scan(
     body: Callable,
     carry_init: PyTree,
     tile_size: int | None = None,
+    n_blocks: int = 1,
 ):
     """Shuffle a flat batch and scan ``body(carry, minibatch) -> (carry, out)``
     over equal-size minibatches. The jit-native replacement for Tianshou's
@@ -209,64 +210,90 @@ def minibatch_scan(
     exact element-level shuffle (the default for small batches).
 
     Remainder semantics (vs the reference's ``merge_last=True`` which grows
-    the last minibatch instead): when ``size`` is not divisible by
-    ``n_minibatches * tile_size``, up to ``n_minibatches * tile_size - 1``
-    samples are EXCLUDED from this epoch. Ragged minibatches would break the
-    static shapes ``lax.scan`` needs, so exclusion is the jit-native choice.
-    Which samples are excluded is re-randomized every call (dropped tiles are
-    chosen by the permutation; the sub-tile tail is randomized by a rolled
-    start offset), so no sample is systematically starved across epochs.
+    the last minibatch instead): when the per-block row count is not
+    divisible by ``n_minibatches * tile_size``, up to
+    ``n_blocks * n_minibatches * tile_size - 1`` samples are EXCLUDED from
+    this epoch. Ragged minibatches would break the static shapes
+    ``lax.scan`` needs, so exclusion is the jit-native choice. Which samples
+    are excluded is re-randomized every call (dropped tiles are chosen by the
+    permutation; the sub-tile tail is randomized by a rolled start offset),
+    so no sample is systematically starved across epochs.
+
+    Multi-device (``n_blocks > 1``): rows are assumed BLOCK-CONTIGUOUS along
+    a dp-sharded leading axis (env-major flatten, ``process_rollout``), with
+    ``n_blocks`` equal to the dp mesh size. The shuffle then permutes tiles
+    WITHIN each block (a batched ``take_along_axis`` whose batch dim is the
+    sharded one), and every minibatch takes an equal tile quota from every
+    block — so the epoch is partitionable: no cross-device batch traffic,
+    gradients all-reduce as usual. A single global permutation instead makes
+    GSPMD all-gather the entire rollout onto every device and run the update
+    replicated (measured on a 2-device mesh).
     """
     import numpy as np
 
     leaves, treedef = jax.tree.flatten(batch)
     size = leaves[0].shape[0]
+    assert size % n_blocks == 0, (size, n_blocks)
+    rows_pb = size // n_blocks
     if tile_size is None:
         # ≥4096 tiles keeps composition well mixed; tile rows of ≥64 samples
         # make the gather HBM-friendly. Small batches fall back to exact.
         tile_size = max(1, size // 4096)
-    nt = size // tile_size
-    usable_tiles = (nt // n_minibatches) * n_minibatches
-    tiles_per_mb = usable_tiles // n_minibatches
+    tpb = rows_pb // tile_size                      # tiles per block
+    usable_pb = (tpb // n_minibatches) * n_minibatches
+    tiles_per_mb_pb = usable_pb // n_minibatches    # per block, per minibatch
+    assert usable_pb > 0, (
+        f"minibatch_scan: {rows_pb} rows/block cannot fill "
+        f"{n_minibatches} minibatches of tile {tile_size}")
 
     rng, k_perm, k_roll = jax.random.split(rng, 3)
-    perm = jax.random.permutation(k_perm, nt)[: usable_tiles]
-    perm = perm.reshape(n_minibatches, tiles_per_mb)
 
-    if tile_size > 1 and size % tile_size != 0:
-        # rows beyond nt*tile_size never make it into a tile; rotate the
-        # batch by a random offset so the excluded tail varies per epoch
-        # (one extra HBM pass, only paid in the non-divisible case)
+    if rows_pb % tile_size != 0:
+        # rows beyond tpb*tile_size in each block never make it into a tile;
+        # rotate the batch by a random offset so the excluded tail varies per
+        # epoch (one extra HBM pass, only paid in the non-divisible case)
         off = jax.random.randint(k_roll, (), 0, size)
         batch = jax.tree.map(lambda x: jnp.roll(x, off, axis=0), batch)
         leaves = jax.tree.leaves(batch)
 
-    if tile_size == 1:
-        mbs = jax.tree.map(lambda x: x[perm], batch)
+    if tile_size == 1 and n_blocks == 1:
+        perm = jax.random.permutation(k_perm, tpb)[: usable_pb]
+        mbs = jax.tree.map(
+            lambda x: x[perm.reshape(n_minibatches, tiles_per_mb_pb)], batch)
         return jax.lax.scan(body, carry_init, mbs)
 
-    # pack leaves (grouped by dtype) → tiled rows → one gather per group
+    # per-block within-block permutations: (n_blocks, usable_pb)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, tpb)[: usable_pb])(
+        jax.random.split(k_perm, n_blocks))
+
+    # pack leaves (grouped by dtype) → per-block tiled rows → one batched
+    # take_along_axis per group (batch dim = block dim = the sharded axis)
     trailing = [x.shape[1:] for x in leaves]
-    flat = [x[: nt * tile_size].reshape(nt, -1) for x in leaves]
+    flat = [x.reshape(n_blocks, rows_pb, -1)[:, : tpb * tile_size]
+            .reshape(n_blocks, tpb, -1) for x in leaves]
     groups: dict = {}
     for i, f in enumerate(flat):
         groups.setdefault(f.dtype, []).append(i)
     gathered: dict = {}
     for dt, idxs in groups.items():
         packed = flat[idxs[0]] if len(idxs) == 1 else jnp.concatenate(
-            [flat[i] for i in idxs], axis=1)
-        gathered[dt] = packed[perm]          # (n_mb, tiles_per_mb, tile*D)
+            [flat[i] for i in idxs], axis=2)     # (n_blocks, tpb, tile*Dsum)
+        shuf = jnp.take_along_axis(packed, perms[:, :, None], axis=1)
+        # (n_blocks, n_mb, tiles_per_mb_pb, W) → (n_mb, n_blocks, tpm, W)
+        gathered[dt] = shuf.reshape(
+            n_blocks, n_minibatches, tiles_per_mb_pb, -1).swapaxes(0, 1)
 
-    widths = [f.shape[1] for f in flat]
+    widths = [f.shape[2] for f in flat]
 
     def unpack(mb_packed):
         out = [None] * len(leaves)
+        mb_rows = n_blocks * tiles_per_mb_pb * tile_size
         for dt, idxs in groups.items():
-            g = mb_packed[dt]                # (tiles_per_mb, tile*Dgroup)
+            g = mb_packed[dt]              # (n_blocks, tpm, tile*Dgroup)
             offs = np.cumsum([0] + [widths[i] for i in idxs])
             for j, i in enumerate(idxs):
-                col = g[:, offs[j]:offs[j + 1]]
-                out[i] = col.reshape((tiles_per_mb * tile_size,) + trailing[i])
+                col = g[:, :, offs[j]:offs[j + 1]]
+                out[i] = col.reshape((mb_rows,) + trailing[i])
         return jax.tree.unflatten(treedef, out)
 
     def body2(carry, mb_packed):

@@ -291,3 +291,27 @@ def test_process_rollout_one_pass_critic_matches_two_pass():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(ref.ret), np.asarray(fast.ret),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_minibatch_scan_block_local_shuffle():
+    """n_blocks>1: every minibatch draws an equal tile quota from every
+    block, rows stay block-major (dp-shardable), and each sample is used at
+    most once per epoch."""
+    from fsrl_tpu.types import minibatch_scan
+    n_blocks, rows_pb, tile, n_mb = 4, 24, 2, 3
+    size = n_blocks * rows_pb
+    block_of = np.arange(size) // rows_pb
+    batch = {"x": jnp.arange(size, dtype=jnp.float32)[:, None]}
+    _, out = minibatch_scan(jax.random.PRNGKey(0), batch, n_mb,
+                            lambda c, mb: (c, mb["x"][:, 0]), 0,
+                            tile_size=tile, n_blocks=n_blocks)
+    out = np.asarray(out)                    # (n_mb, rows_per_mb)
+    all_rows = out.ravel().astype(int)
+    assert len(np.unique(all_rows)) == all_rows.size
+    for m in range(n_mb):
+        rows = out[m].astype(int)
+        blocks = block_of[rows]
+        counts = np.bincount(blocks, minlength=n_blocks)
+        assert (counts == rows.size // n_blocks).all(), counts
+        # block-major inside the minibatch: the sharded axis stays contiguous
+        assert (np.sort(blocks) == blocks).all()
