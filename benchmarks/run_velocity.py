@@ -37,6 +37,10 @@ class VelCurveCfg:
     algos: str = "ppol,sacl"
     seeds: str = "0"
     outdir: str = "benchmarks/results_velocity"
+    # PID gains for the on-policy run; velocity episodes are 1000 steps with
+    # cost scales ~10x the Bullet analogs, so the default Bullet gains leave
+    # a steady-state violation -- a stronger integral removes it
+    pid: str = "0.05,0.0005,0.1"
 
 
 def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
@@ -53,8 +57,10 @@ def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
     epochs = max(1, budget // cfg.step_per_epoch)
     t0 = time.time()
     if onpolicy:
+        gains = tuple(float(g) for g in cfg.pid.split(","))
         algo = PPOLag(venv.observation_size, venv.action_size,
-                      cost_limit=cfg.cost_limit, episode_len=1000)
+                      cost_limit=cfg.cost_limit, episode_len=1000,
+                      lagrangian_pid=gains)
         trainer = HostOnpolicyTrainer(
             algo, venv, epochs=epochs, step_per_epoch=cfg.step_per_epoch,
             steps_per_collect=cfg.steps_per_collect,
@@ -97,7 +103,10 @@ def main(cfg: VelCurveCfg):
         for seed in (int(s) for s in cfg.seeds.split(",")):
             print(f"=== {key} seed {seed} on {cfg.task} ===", flush=True)
             res = run_one(cfg, key, seed)
-            path = os.path.join(cfg.outdir, f"{cfg.task}-{key}-s{seed}.json")
+            tag = "" if cfg.pid == "0.05,0.0005,0.1" or key != "ppol" \
+                else "-pid" + cfg.pid.replace(",", "_")
+            path = os.path.join(cfg.outdir,
+                                f"{cfg.task}-{key}{tag}-s{seed}.json")
             with open(path, "w") as f:
                 json.dump(res, f)
             rows.append(res)
