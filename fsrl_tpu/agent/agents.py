@@ -44,7 +44,10 @@ class BaseAgentTPU:
         self.cost_limit = cost_limit
         self.seed = seed
         self.algo = self._build_algo(cost_limit, **algo_kwargs)
-        self.state = self.algo.init(jax.random.PRNGKey(seed))
+        # jit the init: eagerly building params issues hundreds of tiny
+        # device ops, which costs ~a minute through a tunneled TPU; one
+        # compiled program is seconds (and caches across seeds)
+        self.state = jax.jit(self.algo.init)(jax.random.PRNGKey(seed))
         self.trainer = None
 
     # algorithms that support M>1 constraints (CPO/FOCOPS are single-constraint

@@ -82,3 +82,18 @@ def test_global_episode_stats_under_sharding(devices):
     res = rollout({}, e_sh, st_sh, jax.random.PRNGKey(1))
     # every env truncates exactly once in T steps → global count == N
     assert int(res.stats.n_episodes) == N
+
+
+def test_multihost_mesh_shapes():
+    """Single-process shape checks for the multi-host constructors (the
+    2-process behavior is covered by tests/test_multihost.py)."""
+    import jax
+    from fsrl_tpu.parallel.mesh import make_multihost_mesh
+
+    flat = make_multihost_mesh()
+    assert flat.axis_names == ("dp",)
+    assert flat.devices.size == len(jax.devices())
+    hier = make_multihost_mesh(hierarchical=True)
+    assert hier.axis_names == ("host", "dp")
+    assert hier.devices.shape == (jax.process_count(),
+                                  len(jax.devices()) // jax.process_count())
