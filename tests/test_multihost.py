@@ -23,10 +23,20 @@ def _free_port() -> int:
 def test_two_process_dryrun():
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     port = _free_port()
-    env = dict(os.environ)
+    # The workers must be PURE-CPU processes: scrub any accelerator-plugin
+    # environment (e.g. a tunneled-TPU PJRT plugin injected via a PYTHONPATH
+    # site dir + TPU_*/PJRT_* vars). If a plugin registers inside the worker,
+    # its backend becomes the default and jax.process_count() reports the
+    # plugin's topology (1) instead of the Gloo cluster's.
+    env = {
+        k: v for k, v in os.environ.items()
+        if not (k.startswith(("TPU_", "PJRT_", "AXON", "PALLAS_AXON"))
+                or k in ("JAX_PLATFORMS", "_AXON_REGISTERED"))
+    }
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep))
+        + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+           if p and "axon" not in p])
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
