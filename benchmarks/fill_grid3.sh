@@ -25,17 +25,28 @@ run_cell() {
     || echo "FAILED: $task/$algo/s$seed"
 }
 
-# 1. AntCircle — full 7-algo x 3-seed block
+# Seed 0 FIRST across every empty cell (coverage beats seed depth when the
+# wall clock is shared), then widen to seeds 1,2.
+
+# 1a. AntCircle seed-0 row — the one task with zero recorded cells
 for algo in ppol trpol cpo focops sacl ddpgl cvpo; do
-  for seed in 0 1 2; do
-    run_cell SafetyAntCircle-v0 "$algo" 25.0 "$seed"
+  run_cell SafetyAntCircle-v0 "$algo" 25.0 0
+done
+
+# 1b. navigation "2" variants seed 0, PPO-Lag + CPO (reference nav protocol)
+for task in SafetyPointGoal2-v0 SafetyPointButton2-v0 SafetyPointPush2-v0; do
+  for algo in ppol cpo; do
+    run_cell "$task" "$algo" 25.0 0
   done
 done
 
-# 2. navigation "2" variants, PPO-Lag + CPO (reference nav protocol)
-for task in SafetyPointGoal2-v0 SafetyPointButton2-v0 SafetyPointPush2-v0; do
-  for algo in ppol cpo; do
-    for seed in 0 1 2; do
+# 2. seed depth: AntCircle + nav2 seeds 1,2
+for seed in 1 2; do
+  for algo in ppol trpol cpo focops sacl ddpgl cvpo; do
+    run_cell SafetyAntCircle-v0 "$algo" 25.0 "$seed"
+  done
+  for task in SafetyPointGoal2-v0 SafetyPointButton2-v0 SafetyPointPush2-v0; do
+    for algo in ppol cpo; do
       run_cell "$task" "$algo" 25.0 "$seed"
     done
   done

@@ -101,6 +101,9 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
     return {
         "algo": key, "task": cfg.task, "seed": seed,
         "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
+        "n_envs": common["n_envs"],
+        "steps_per_collect": common["steps_per_collect"],
+        "step_per_epoch": cfg.step_per_epoch,
         "steps_per_s": budget / wall,
         "final_reward": rew, "final_cost": cost, "final_length": length,
         # feasibility-first best checkpoint (the reference's model-selection
