@@ -110,7 +110,12 @@ def main(cfg: FidCfg):
         for algo, ref_val in ref["best"].items():
             if algo not in ours.get(task, {}):
                 continue
+            # the reference plateau is read at the reference's FULL budget,
+            # so compare against our largest-budget runs only — pooling a
+            # 500k warmup run with a 2M converged run reports neither
             vals = ours[task][algo]
+            top_budget = max(v[2] for v in vals)
+            vals = [v for v in vals if v[2] == top_budget]
             mean_r = sum(v[0] for v in vals) / len(vals)
             mean_c = sum(v[1] for v in vals) / len(vals)
             lines.append(
