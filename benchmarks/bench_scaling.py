@@ -50,7 +50,6 @@ def main():
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
-    import jax.numpy as jnp
 
     from fsrl_tpu.algos.ppo_lag import PPOLag
     from fsrl_tpu.data.collector import make_rollout_fn

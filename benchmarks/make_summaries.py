@@ -35,54 +35,69 @@ def best_from_curve(curve: dict, limit: float) -> tuple[float, float]:
 
 @dataclass
 class SumCfg:
-    dirs: str = "benchmarks/results,benchmarks/results_1m,benchmarks/results_velocity"
+    dirs: str = ("benchmarks/results,benchmarks/results_1m,"
+                 "benchmarks/results_5m,benchmarks/results_nav,"
+                 "benchmarks/results_velocity")
     plot: bool = True
+
+
+def load_dir(d: str) -> dict[str, list]:
+    """All result JSONs in ``d``, grouped by task."""
+    by_task = defaultdict(list)
+    for f in sorted(glob.glob(os.path.join(d, "*.json"))):
+        try:
+            r = json.load(open(f))
+        except Exception:
+            continue
+        if isinstance(r, dict) and "algo" in r and "task" in r:
+            r["_file"] = os.path.basename(f)
+            by_task[r["task"]].append(r)
+    return by_task
+
+
+def summarize_dir(d: str, plot_curves: bool = True) -> None:
+    """Regenerate every summary-{task}.md (and PNG) in a results dir from
+    ALL its JSONs. run_curves.py calls this after each invocation, so
+    one-cell-at-a-time grid scripts can never leave a stale summary."""
+    for task, rows in load_dir(d).items():
+        rows.sort(key=lambda r: (r["algo"], r.get("seed", 0), r["_file"]))
+        limit = rows[0].get("cost_limit", 25.0)
+        md = [f"# Curves: {task} (cost_limit={limit})", "",
+              "Best = feasibility-first best test checkpoint (the "
+              "reference's model-selection rule); final = evaluation of "
+              "the last state. Oscillating Lagrangian methods can end a "
+              "run mid-violation — deploy the best checkpoint.", "",
+              "| algo | seed | budget | final reward | final cost | "
+              "best reward | best cost | steps/s |",
+              "|---|---|---|---|---|---|---|---|"]
+        for r in rows:
+            if "best_reward" not in r and "curve" in r:
+                br, bc = best_from_curve(r["curve"], limit)
+                r["best_reward"], r["best_cost"] = br, bc
+            tag = ""
+            if "-pid" in r["_file"]:
+                tag = " (pid-retune)"
+            md.append(
+                f"| {r['algo']}{tag} | {r.get('seed', 0)} | "
+                f"{r['budget']:,} | {r['final_reward']:.1f} | "
+                f"{r['final_cost']:.1f} | {r['best_reward']:.1f} | "
+                f"{r['best_cost']:.1f} | {r['steps_per_s']:,.0f} |")
+        out = os.path.join(d, f"summary-{task}.md")
+        with open(out, "w") as f:
+            f.write("\n".join(md) + "\n")
+        print("wrote", out)
+        if plot_curves:
+            try:
+                plot(task, rows, limit, d)
+            except Exception as e:
+                print("plot skipped:", e)
 
 
 @cli(SumCfg)
 def main(cfg: SumCfg):
     for d in cfg.dirs.split(","):
-        by_task = defaultdict(list)
-        for f in sorted(glob.glob(os.path.join(d, "*.json"))):
-            try:
-                r = json.load(open(f))
-            except Exception:
-                continue
-            if isinstance(r, dict) and "algo" in r and "task" in r:
-                r["_file"] = os.path.basename(f)
-                by_task[r["task"]].append(r)
-        for task, rows in by_task.items():
-            rows.sort(key=lambda r: (r["algo"], r.get("seed", 0), r["_file"]))
-            limit = rows[0].get("cost_limit", 25.0)
-            md = [f"# Curves: {task} (cost_limit={limit})", "",
-                  "Best = feasibility-first best test checkpoint (the "
-                  "reference's model-selection rule); final = evaluation of "
-                  "the last state. Oscillating Lagrangian methods can end a "
-                  "run mid-violation — deploy the best checkpoint.", "",
-                  "| algo | seed | budget | final reward | final cost | "
-                  "best reward | best cost | steps/s |",
-                  "|---|---|---|---|---|---|---|---|"]
-            for r in rows:
-                if "best_reward" not in r and "curve" in r:
-                    br, bc = best_from_curve(r["curve"], limit)
-                    r["best_reward"], r["best_cost"] = br, bc
-                tag = ""
-                if "-pid" in r["_file"]:
-                    tag = " (pid-retune)"
-                md.append(
-                    f"| {r['algo']}{tag} | {r.get('seed', 0)} | "
-                    f"{r['budget']:,} | {r['final_reward']:.1f} | "
-                    f"{r['final_cost']:.1f} | {r['best_reward']:.1f} | "
-                    f"{r['best_cost']:.1f} | {r['steps_per_s']:,.0f} |")
-            out = os.path.join(d, f"summary-{task}.md")
-            with open(out, "w") as f:
-                f.write("\n".join(md) + "\n")
-            print("wrote", out)
-            if cfg.plot:
-                try:
-                    plot(task, rows, limit, d)
-                except Exception as e:
-                    print("plot skipped:", e)
+        if os.path.isdir(d):
+            summarize_dir(d, plot_curves=cfg.plot)
 
 
 def plot(task, rows, limit, outdir):

@@ -18,7 +18,6 @@ import os
 import time
 from dataclasses import dataclass
 
-import numpy as np
 
 from fsrl_tpu.agent import (CPOAgent, CVPOAgent, DDPGLagAgent, FOCOPSAgent,
                             PPOLagAgent, SACLagAgent, TRPOLagAgent)
@@ -141,47 +140,11 @@ def main(cfg: CurveCfg):
                   f"{res['steps_per_s']:,.0f} steps/s  {res['wall_s']:.0f}s",
                   flush=True)
 
-    # summary markdown
-    md = [f"# Curves: {cfg.task} (cost_limit={cfg.cost_limit})", "",
-          "| algo | seed | budget | final reward | final cost | "
-          "best reward | best cost | steps/s | wall |",
-          "|---|---|---|---|---|---|---|---|---|"]
-    for r in rows:
-        md.append(f"| {r['algo']} | {r['seed']} | {r['budget']:,} | "
-                  f"{r['final_reward']:.1f} | {r['final_cost']:.1f} | "
-                  f"{r.get('best_reward', float('nan')):.1f} | "
-                  f"{r.get('best_cost', float('nan')):.1f} | "
-                  f"{r['steps_per_s']:,.0f} | {r['wall_s']:.0f}s |")
-    with open(os.path.join(cfg.outdir, f"summary-{cfg.task}.md"), "w") as f:
-        f.write("\n".join(md) + "\n")
-    print("\n".join(md))
-
-    try:
-        plot(rows, cfg)
-    except Exception as e:  # matplotlib optional
-        print("plotting skipped:", e)
-
-
-def plot(rows, cfg: CurveCfg):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
-    for r in rows:
-        c = r["curve"]
-        ax1.plot(c["env_step"], c["reward"], label=f"{r['algo']}-s{r['seed']}")
-        ax2.plot(c["env_step"], c["cost"], label=f"{r['algo']}-s{r['seed']}")
-    ax2.axhline(cfg.cost_limit, color="k", ls="--", lw=1, label="limit")
-    ax1.set_title(f"{cfg.task} reward")
-    ax2.set_title(f"{cfg.task} episodic cost")
-    for ax in (ax1, ax2):
-        ax.set_xlabel("env steps")
-        ax.legend(fontsize=7)
-    fig.tight_layout()
-    out = os.path.join(cfg.outdir, f"curves-{cfg.task}.png")
-    fig.savefig(out, dpi=120)
-    print("wrote", out)
+    # regenerate the whole directory's summaries from ALL result JSONs (not
+    # just this invocation's rows) so one-cell-at-a-time grid scripts can
+    # never leave a stale summary behind
+    from make_summaries import summarize_dir
+    summarize_dir(cfg.outdir)
 
 
 if __name__ == "__main__":

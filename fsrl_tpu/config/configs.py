@@ -12,7 +12,7 @@ fixed-length segments (SURVEY.md §7.3 semantic note).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from fsrl_tpu.envs.base import EnvState, SafeEnv
-from fsrl_tpu.types import EpisodeStats, Timestep, Transition
+from fsrl_tpu.types import EpisodeStats, Transition
 
 Array = jax.Array
 

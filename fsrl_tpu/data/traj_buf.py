@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Optional
 
 import h5py
 import numpy as np

@@ -12,7 +12,6 @@ Velocity thresholds are the published safety-gymnasium values (calibrated as
 
 from __future__ import annotations
 
-from typing import Callable
 
 # published safety-gymnasium velocity limits (m/s)
 VELOCITY_LIMITS = {

@@ -4,5 +4,6 @@ from fsrl_tpu.trainer.trainer import (BaseTrainerTPU, OffpolicyTrainerTPU,
                                       OnpolicyTrainerTPU, offpolicy_trainer,
                                       onpolicy_trainer, perf_is_better)
 
-__all__ = ["HostOnpolicyTrainer", "HostOffpolicyTrainer", "BaseTrainerTPU", "OnpolicyTrainerTPU", "OffpolicyTrainerTPU",
+__all__ = ["HostOnpolicyTrainer", "HostOffpolicyTrainer", "BaseTrainerTPU",
+           "OnpolicyTrainerTPU", "OffpolicyTrainerTPU",
            "onpolicy_trainer", "offpolicy_trainer", "perf_is_better"]

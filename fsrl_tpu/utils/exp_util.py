@@ -7,7 +7,7 @@ import dataclasses
 import os.path as osp
 import random
 import uuid
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import yaml

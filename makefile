@@ -4,7 +4,7 @@
 SHELL = /bin/bash
 PYTHONPATH_EXTRA = $(CURDIR)
 
-.PHONY: test test-fast lint format bench curves native clean
+.PHONY: test test-fast lint format bench curves summaries native clean
 
 # full suite on the 8-device virtual CPU mesh (conftest forces platform)
 test:
@@ -15,9 +15,13 @@ test-fast:
 	PYTHONPATH=$(PYTHONPATH_EXTRA) python -m pytest tests/ -q \
 		--ignore=tests/test_all_agents.py
 
+# enforcing (exits nonzero on findings), like the reference's flake8 gate
+# (reference makefile:20-34); the image ships no flake8, so tools/lint.py
+# implements the high-value subset on stdlib ast
 lint:
-	python -m flake8 fsrl_tpu/ --max-line-length=100 --extend-ignore=E203,W503 \
-		|| true
+	python tools/lint.py fsrl_tpu tests benchmarks tools
+
+format: lint
 
 bench:
 	python bench.py
@@ -29,6 +33,11 @@ native:
 
 curves:
 	PYTHONPATH=$(PYTHONPATH_EXTRA) python benchmarks/run_curves.py
+
+# regenerate every summary-{task}.md + PNG from the result JSONs (the single
+# source of truth); tests/test_summaries.py gates that these stay in sync
+summaries:
+	PYTHONPATH=$(PYTHONPATH_EXTRA) python benchmarks/make_summaries.py
 
 clean:
 	find . -name __pycache__ -type d -prune -exec rm -rf {} \;

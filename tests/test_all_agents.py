@@ -7,7 +7,6 @@ Plus what the reference never tests (SURVEY.md ยง4): a CONSTRAINED regression โ
 PPO-Lag must satisfy a real cost limit at convergence.
 """
 
-import jax
 import pytest
 
 from fsrl_tpu.agent import (CPOAgent, CVPOAgent, DDPGLagAgent, FOCOPSAgent,

@@ -1,6 +1,5 @@
 """Checkpoint round-trip, config CLI, and auto-naming tests."""
 
-import dataclasses
 import os
 
 import jax

@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 from fsrl_tpu.envs import make, registered_tasks
-from fsrl_tpu.envs.ball import BallEnv, BallSim
 from fsrl_tpu.envs.tasks import CircleTask, RunTask
 
 ALL_TASKS = [

@@ -5,7 +5,6 @@ import gymnasium as gym
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fsrl_tpu.envs.host_env import HostCollector, HostVectorEnv
 

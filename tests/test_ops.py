@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fsrl_tpu.ops.cg import conjugate_gradient, flatten, make_fvp
+from fsrl_tpu.ops.cg import conjugate_gradient, make_fvp
 from fsrl_tpu.ops.gae import discounted_returns, gae_advantages
 from fsrl_tpu.ops.lagrange import PIDLagrangianState, pid_step, rescaling_factor
 from fsrl_tpu.ops.nstep import nstep_forward_indices, nstep_targets
@@ -203,7 +203,6 @@ def test_gae_pallas_interpret_matches_sequential():
 
 def test_mlp_bf16_compute_path():
     """Mixed-precision trunk: bf16 matmuls, f32 params and outputs."""
-    import flax.linen as nn
     from fsrl_tpu.nets.mlp import MLP
     m = MLP((64, 64), out_dim=4, compute_dtype=jnp.bfloat16)
     x = jnp.ones((8, 16))
