@@ -1,9 +1,14 @@
-"""Benchmark harness: sustained env-steps/s of the fused PPO-Lagrangian
-training step (on-device rollout + GAE + 4-epoch minibatched update) on
-SafetyCarCircle-v0 — the reference's headline config (BASELINE.md: "solve
-SafetyCarCircle-v0 in ~10 minutes on 4 CPUs").
+"""Benchmark harness: the framework's full throughput story in ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Headline: sustained env-steps/s of the fused PPO-Lagrangian training step
+(on-device rollout + GAE + 4-epoch minibatched update) on SafetyCarCircle-v0
+— the reference's headline config (BASELINE.md: "solve SafetyCarCircle-v0 in
+~10 minutes on 4 CPUs").  Nested: in-trainer env-steps/s for the off-policy
+algorithms (SAC-Lag / DDPG-Lag / CVPO, chunked-dispatch trainer at the
+reference update:env-step ratio), plus a roofline analysis of the fused
+on-policy step from XLA's own cost model (flops + bytes accessed vs TPU v5e
+peak 197 bf16 TFLOP/s and 819 GB/s HBM) that substantiates where the time
+goes.
 
 Baseline derivation: the reference's only published speed claim is ~10 min
 wall-clock to solve SafetyCarCircle-v0 on 4 CPUs (README.md:56) with default
@@ -14,15 +19,28 @@ updates. vs_baseline = our steps/s / 2000.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 FSRL_BASELINE_STEPS_PER_S = 2000.0
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
 
 
-def main():
+def cost_analysis(compiled) -> dict:
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return dict(ca) if ca else {}
+    except Exception:
+        return {}
+
+
+def bench_onpolicy() -> dict:
     from fsrl_tpu.algos.ppo_lag import PPOLag
     from fsrl_tpu.data.collector import make_rollout_fn
     from fsrl_tpu.envs import make
@@ -55,15 +73,9 @@ def main():
             state, env_state, stats, rng)
     jax.block_until_ready(metrics["loss/total"])
 
-    # FLOPs per iteration from XLA's own cost model -> MFU estimate
-    flops_per_iter = None
-    try:
-        compiled = train_iter.lower(state, env_state, stats, rng).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops_per_iter = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    ca = cost_analysis(train_iter.lower(state, env_state, stats, rng).compile())
+    flops_per_iter = float(ca.get("flops", 0.0)) or None
+    bytes_per_iter = float(ca.get("bytes accessed", 0.0)) or None
 
     iters = 10
     t0 = time.perf_counter()
@@ -80,13 +92,53 @@ def main():
         "unit": "env-steps/s (rollout+update fused, SafetyCarCircle-v0)",
         "vs_baseline": round(steps_per_s / FSRL_BASELINE_STEPS_PER_S, 2),
     }
+    iter_s = dt / iters
+    out["iter_ms"] = round(iter_s * 1e3, 2)
     if flops_per_iter:
-        # TPU v5e peak ~197 TFLOP/s bf16; MLP-scale safe RL is latency/HBM
-        # bound, so single-digit MFU is expected — reported for honesty, and
-        # to catch regressions in the compute path
-        tflops = flops_per_iter * iters / dt / 1e12
+        tflops = flops_per_iter / iter_s / 1e12
         out["tflops_per_s"] = round(tflops, 2)
-        out["mfu_pct_bf16_v5e"] = round(100.0 * tflops / 197.0, 2)
+        out["mfu_pct_bf16_v5e"] = round(100.0 * tflops / V5E_PEAK_BF16_TFLOPS,
+                                        2)
+    if flops_per_iter and bytes_per_iter:
+        # roofline: the minimum time XLA's cost model allows on v5e is
+        # max(compute, HBM); whatever the measured iter exceeds that by is
+        # dispatch/serialization overhead (scan-carried env steps are
+        # latency-, not bandwidth-, shaped)
+        t_compute = flops_per_iter / (V5E_PEAK_BF16_TFLOPS * 1e12)
+        t_hbm = bytes_per_iter / (V5E_HBM_GBPS * 1e9)
+        out["hbm_bytes_per_iter"] = int(bytes_per_iter)
+        out["hbm_gbps"] = round(bytes_per_iter / iter_s / 1e9, 1)
+        out["roofline"] = {
+            "t_compute_ms": round(t_compute * 1e3, 3),
+            "t_hbm_ms": round(t_hbm * 1e3, 3),
+            "t_measured_ms": round(iter_s * 1e3, 3),
+            "bound": ("compute" if t_compute > t_hbm else "hbm")
+            if max(t_compute, t_hbm) > 0.5 * iter_s else "latency/dispatch",
+            "hbm_bw_util_pct": round(100.0 * t_hbm / iter_s, 1),
+        }
+    return out
+
+
+def bench_offpolicy_all() -> dict:
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    from bench_offpolicy import bench_one
+    res = {}
+    for key in ("sacl", "ddpgl", "cvpo"):
+        try:
+            r = bench_one(key, n_envs=32, T=100, iters=10,
+                          update_per_step=0.2, batch_size=256)
+            res[key] = {"env_steps_per_s": r["env_steps_per_s"],
+                        "vs_baseline": r["vs_fsrl_2k"]}
+        except Exception as e:  # keep the headline even if one algo breaks
+            res[key] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+    return res
+
+
+def main():
+    out = bench_onpolicy()
+    if os.environ.get("BENCH_SKIP_OFFPOLICY") != "1":
+        out["offpolicy"] = bench_offpolicy_all()
     print(json.dumps(out))
 
 

@@ -115,18 +115,10 @@ def main(cfg: VelCurveCfg):
                   f"{res['steps_per_s']:,.0f} steps/s  {res['wall_s']:.0f}s",
                   flush=True)
 
-    md = [f"# Velocity curves (real MuJoCo): {cfg.task} "
-          f"(cost_limit={cfg.cost_limit})", "",
-          "| algo | seed | budget | final reward | final cost | best reward "
-          "| best cost | steps/s |", "|---|---|---|---|---|---|---|---|"]
-    for r in rows:
-        md.append(f"| {r['algo']} | {r['seed']} | {r['budget']:,} | "
-                  f"{r['final_reward']:.1f} | {r['final_cost']:.1f} | "
-                  f"{r['best_reward']:.1f} | {r['best_cost']:.1f} | "
-                  f"{r['steps_per_s']:,.0f} |")
-    with open(os.path.join(cfg.outdir, f"summary-{cfg.task}.md"), "w") as f:
-        f.write("\n".join(md) + "\n")
-    print("\n".join(md))
+    # regenerate ALL summaries in the outdir (stale-summary guard,
+    # tests/test_summaries.py)
+    from make_summaries import summarize_dir
+    summarize_dir(cfg.outdir)
 
 
 if __name__ == "__main__":
