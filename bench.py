@@ -99,6 +99,48 @@ def bench_onpolicy() -> dict:
         out["tflops_per_s"] = round(tflops, 2)
         out["mfu_pct_bf16_v5e"] = round(100.0 * tflops / V5E_PEAK_BF16_TFLOPS,
                                         2)
+    # scan-fused dispatch: K collect+update iterations inside ONE jitted
+    # program (trainer's fuse_iters mode) — amortizes the per-dispatch
+    # latency that the roofline identifies as the binding constraint
+    K = 8
+
+    @jax.jit
+    def train_k(state, env_state, stats, rng):
+        def body(carry, _):
+            carry = train_iter(*carry)[:4]
+            return carry, None
+
+        (state, env_state, stats, rng), _ = jax.lax.scan(
+            body, (state, env_state, stats, rng), None, length=K)
+        return state, env_state, stats, rng
+
+    state, env_state, stats, rng = train_k(state, env_state, stats, rng)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        state, env_state, stats, rng = train_k(state, env_state, stats, rng)
+    jax.block_until_ready(state.params)
+    dt_k = time.perf_counter() - t0
+    fused_steps_per_s = reps * K * T * N / dt_k
+    out["scan_fused"] = {
+        "fuse_iters": K,
+        "env_steps_per_s": round(fused_steps_per_s, 1),
+        "vs_baseline": round(fused_steps_per_s / FSRL_BASELINE_STEPS_PER_S,
+                             2),
+        "iter_ms": round(dt_k / (reps * K) * 1e3, 2),
+    }
+    if flops_per_iter:
+        out["scan_fused"]["mfu_pct_bf16_v5e"] = round(
+            100.0 * flops_per_iter * reps * K / dt_k / 1e12
+            / V5E_PEAK_BF16_TFLOPS, 2)
+    if fused_steps_per_s > steps_per_s:
+        out["value"] = round(fused_steps_per_s, 1)
+        out["vs_baseline"] = round(
+            fused_steps_per_s / FSRL_BASELINE_STEPS_PER_S, 2)
+        out["unit"] = ("env-steps/s (rollout+update fused, 8-iter scan "
+                       "dispatch, SafetyCarCircle-v0)")
+
     if flops_per_iter and bytes_per_iter:
         # roofline: the minimum time XLA's cost model allows on v5e is
         # max(compute, HBM); whatever the measured iter exceeds that by is
