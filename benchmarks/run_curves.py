@@ -48,7 +48,10 @@ class CurveCfg:
     n_envs: int = 20
     steps_per_collect: int = 500
     off_n_envs: int = 8
-    off_steps_per_collect: int = 100
+    off_steps_per_collect: int = 125
+    # 10 fused cycles x 1000-step collects = one jitted dispatch per 10k
+    # steps: essential when the TPU tunnel's per-dispatch latency dominates
+    off_fuse_iters: int = 10
     episode_per_test: int = 10
     algos: str = "ppol,trpol,cpo,focops,ddpgl,sacl,cvpo"
     seeds: str = "0"
@@ -75,7 +78,8 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
     else:
         common.update(n_envs=cfg.off_n_envs,
                       steps_per_collect=cfg.off_steps_per_collect,
-                      update_per_step=0.2)
+                      update_per_step=0.2, update_chunk=256,
+                      fuse_iters=cfg.off_fuse_iters)
 
     # iterate the trainer manually so each epoch's test stats are recorded
     from fsrl_tpu.trainer.trainer import decache

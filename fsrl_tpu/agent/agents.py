@@ -80,6 +80,7 @@ class BaseAgentTPU:
         update_per_step: float = 0.2,
         mesh=None,
         verbose: bool = False,
+        **trainer_kwargs,   # e.g. fuse_iters / update_chunk / log_every
     ) -> dict:
         stop_fn = None
         if reward_threshold is not None:
@@ -91,7 +92,7 @@ class BaseAgentTPU:
             steps_per_collect=steps_per_collect,
             episode_per_test=episode_per_test, cost_limit=self.cost_limit,
             save_model_interval=save_model_interval, stop_fn=stop_fn,
-            mesh=mesh, seed=self.seed, verbose=verbose,
+            mesh=mesh, seed=self.seed, verbose=verbose, **trainer_kwargs,
         )
         if self.onpolicy:
             self.trainer = OnpolicyTrainerTPU(self.algo, self.env, self.logger,

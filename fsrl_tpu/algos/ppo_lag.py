@@ -74,6 +74,7 @@ class PPOLag:
         gamma: float = 0.99,
         unbounded: bool = False,
         last_layer_scale: bool = True,
+        sigma_init: float = -0.5,
         max_action: float = 1.0,
         repeat: int = 4,
         n_minibatches: int = 4,
@@ -101,7 +102,8 @@ class PPOLag:
         self.actor = GaussianActor(
             act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
             unbounded=unbounded, conditioned_sigma=False,
-            last_layer_scale=last_layer_scale, compute_dtype=compute_dtype,
+            last_layer_scale=last_layer_scale, sigma_init=sigma_init,
+            compute_dtype=compute_dtype,
         )
         self.critics = VCriticEnsemble(num_critics=self.K, hidden_sizes=hidden_sizes,
                                        compute_dtype=compute_dtype)

@@ -23,7 +23,12 @@ G = 9.81
 THRUST_MAX = 2.0 * G      # per-unit total thrust at action=+1
 TILT_RATE = 4.0           # attitude torque scale
 ANG_DRAG = 2.0
-LIN_DRAG = 0.3
+# Anisotropic linear drag: rotor downwash gives a quadrotor far more vertical
+# damping than horizontal. The strong z-drag makes altitude perturbations decay
+# in ~0.6s instead of ~3s, which keeps hover recoverable under exploration
+# noise — without it, on-policy learners crash-terminate before they can
+# assign credit for altitude control (see benchmarks/diag_drone.py).
+LIN_DRAG = jnp.array([0.3, 0.3, 1.6])
 Z_TARGET = 2.0
 VEL_SCALE = 5.0
 

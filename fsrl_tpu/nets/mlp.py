@@ -81,6 +81,7 @@ class GaussianActor(nn.Module):
     unbounded: bool = False
     conditioned_sigma: bool = False
     last_layer_scale: bool = False
+    sigma_init: float = -0.5    # free-log-sigma init (ppo_lag_agent.py:147)
     compute_dtype: Any = None   # bf16 trunk matmuls; mu/sigma heads stay f32
 
     @nn.compact
@@ -100,7 +101,8 @@ class GaussianActor(nn.Module):
             log_sigma = jnp.clip(log_sigma, SIGMA_MIN, SIGMA_MAX)
         else:
             log_sigma = self.param(
-                "log_sigma", nn.initializers.constant(-0.5), (self.act_dim,)
+                "log_sigma", nn.initializers.constant(self.sigma_init),
+                (self.act_dim,)
             )
             log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
         return DiagGaussian(mean=mu, std=jnp.exp(log_sigma))

@@ -349,10 +349,15 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
 
     def __init__(self, *args, buffer_size: int = 100000,
                  update_per_step: float = 0.2, update_chunk: int = 32,
-                 **kwargs):
+                 fuse_iters: int = 1, **kwargs):
         self.buffer_size = buffer_size
         self.update_per_step = update_per_step
         self.update_chunk = update_chunk
+        # fuse_iters=k wraps k (collect + update chunks) cycles in ONE jitted
+        # scan — same dispatch-amortization trick as the on-policy trainer.
+        # Essential through a high-latency TPU tunnel, where per-dispatch
+        # round trips otherwise dominate (each collect is only T*n_envs steps).
+        self.fuse_iters = max(1, int(fuse_iters))
         super().__init__(*args, **kwargs)
 
     def _build(self):
@@ -413,7 +418,40 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
         self.post_fn = (jax.jit(algo.post_update, donate_argnums=(0,))
                         if hasattr(algo, "post_update") else None)
 
+        if self.fuse_iters > 1:
+            chunk_sizes = self.chunk_sizes
+
+            def cycle_body(carry, _):
+                state, env_state, stats, buf_state, rng = carry
+                state, env_state, stats, buf_state, view, rng = collect_fn(
+                    state, env_state, stats, buf_state, rng)
+                rng, k = jax.random.split(rng)
+                keys = jax.random.split(k, len(chunk_sizes))
+                metrics = {}
+                for i, n in enumerate(chunk_sizes):
+                    state, metrics = update_chunk_fn(
+                        state, buf_state, view, keys[i], n)
+                if hasattr(algo, "post_update"):
+                    state = algo.post_update(state)
+                return (state, env_state, stats, buf_state, rng), metrics
+
+            def fused(state, env_state, stats, buf_state, rng):
+                (state, env_state, stats, buf_state, rng), ms = jax.lax.scan(
+                    cycle_body, (state, env_state, stats, buf_state, rng),
+                    None, length=self.fuse_iters)
+                return state, env_state, stats, buf_state, rng, jax.tree.map(
+                    lambda x: x[-1], ms)
+
+            self.fused_fn = jax.jit(fused, donate_argnums=(0, 1, 2, 3))
+
     def _run_iter(self):
+        if self.fuse_iters > 1:
+            (self.state, self.env_state, self.stats, self.buf_state,
+             self.rng, metrics) = self.fused_fn(
+                self.state, self.env_state, self.stats, self.buf_state,
+                self.rng)
+            self._log_train(self.stats, metrics)
+            return metrics
         (self.state, self.env_state, self.stats, self.buf_state, view,
          self.rng) = self.collect_fn(self.state, self.env_state, self.stats,
                                      self.buf_state, self.rng)
