@@ -6,7 +6,14 @@
 # through the CPU-inference fast path. Resumable: existing cells skipped.
 set -u
 cd "$(dirname "$0")/.."
-export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# Run entirely on local CPU: the learner MLPs are tiny (updates are cheap vs
+# MuJoCo stepping) and the TPU tunnel admits one client at a time — keeping
+# velocity off the accelerator lets the Bullet/nav grids own the TPU lane.
+# PYTHONPATH deliberately EXCLUDES the axon plugin site (its sitecustomize
+# blocks backend init while another process holds the tunnel).
+export PYTHONPATH="$PWD"
+export JAX_PLATFORMS=cpu
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 OUT=benchmarks/results_velocity_5m
 
 run_cell() {

@@ -65,16 +65,17 @@ def test_ppo_lag_respects_constraint():
     assert cost <= 1.2 * 25.0, f"constraint violated: cost={cost}"
 
 
-@pytest.mark.parametrize("agent_cls,kw", [
-    (SACLagAgent, {}),
-    (CVPOAgent, {}),
-], ids=["SACLagAgent", "CVPOAgent"])
-def test_offpolicy_agent_respects_constraint(agent_cls, kw):
+@pytest.mark.parametrize("agent_cls,kw,task", [
+    (SACLagAgent, {}, TASK),
+    (SACLagAgent, {}, "SafetyCarRun-v0"),   # round-2 violation row, now gated
+    (CVPOAgent, {}, TASK),
+], ids=["SACLagAgent", "SACLagAgent-CarRun", "CVPOAgent"])
+def test_offpolicy_agent_respects_constraint(agent_cls, kw, task):
     """Constrained end-to-end gates for the two algorithms whose stability
     actually broke in round 1 (bounded alpha / dual hardening): the
     feasibility-first best checkpoint must combine real reward with
     cost <= 1.2x limit."""
-    agent = agent_cls(TASK, cost_limit=25.0, seed=0, **kw)
+    agent = agent_cls(task, cost_limit=25.0, seed=0, **kw)
     info = agent.learn(
         epochs=8, step_per_epoch=5000, n_envs=4, steps_per_collect=100,
         episode_per_test=10, buffer_size=50000, update_per_step=0.2,
