@@ -30,7 +30,13 @@ class VelCurveCfg:
     off_budget: int = 300000        # off-policy env-step budget
     step_per_epoch: int = 20000
     n_envs: int = 10
-    steps_per_collect: int = 500
+    # 2000 host steps x 10 envs = one 20k-step collect — the reference's
+    # MujocoBaseCfg protocol (episode_per_collect=20 x 1000-step episodes,
+    # ppol_cfg.py:87-94). Smaller collects under-optimize per datum (the
+    # tianshou schedule takes ~312 grad steps of batch 256 per 20k collect)
+    # and let reward outrun the Lagrangian response: the 5M HalfCheetah run
+    # at 5k collects / 16 grad steps saw cost blow through 25 to 165.
+    steps_per_collect: int = 2000
     off_n_envs: int = 4
     off_steps_per_collect: int = 100
     episode_per_test: int = 4
@@ -58,9 +64,12 @@ def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
     t0 = time.time()
     if onpolicy:
         gains = tuple(float(g) for g in cfg.pid.split(","))
+        # reference minibatching: batch_size 256 over the 20k collect,
+        # repeat 4 -> ~312 grad steps per collect (ppol_cfg.py:44-49)
+        nmb = max(1, (cfg.steps_per_collect * cfg.n_envs) // 256)
         algo = PPOLag(venv.observation_size, venv.action_size,
                       cost_limit=cfg.cost_limit, episode_len=1000,
-                      lagrangian_pid=gains)
+                      lagrangian_pid=gains, repeat=4, n_minibatches=nmb)
         trainer = HostOnpolicyTrainer(
             algo, venv, epochs=epochs, step_per_epoch=cfg.step_per_epoch,
             steps_per_collect=cfg.steps_per_collect,
