@@ -22,7 +22,8 @@ import jax
 
 
 def bench_one(key: str, n_envs: int, T: int, iters: int,
-              update_per_step: float, batch_size: int) -> dict:
+              update_per_step: float, batch_size: int,
+              fuse_iters: int = 8) -> dict:
     from fsrl_tpu.agent import CVPOAgent, DDPGLagAgent, SACLagAgent
     from fsrl_tpu.trainer.trainer import OffpolicyTrainerTPU, decache
 
@@ -30,10 +31,13 @@ def bench_one(key: str, n_envs: int, T: int, iters: int,
                  "cvpo": CVPOAgent}[key]
     kw = {} if key != "sacl" else {}
     agent = agent_cls("SafetyBallCircle-v0", cost_limit=25.0, seed=0, **kw)
+    # iters counts FUSED dispatches when fuse_iters>1 (each = fuse_iters
+    # collect+update cycles); throughput accounting scales below
     tr = OffpolicyTrainerTPU(
         agent.algo, agent.env, agent.logger, cost_limit=25.0, seed=0,
         n_envs=n_envs, steps_per_collect=T, update_per_step=update_per_step,
         epochs=1, step_per_epoch=10 ** 9, verbose=False, log_every=10 ** 9,
+        update_chunk=256, fuse_iters=fuse_iters,
     )
     tr.state = decache(agent.state)
     # warmup/compile
@@ -45,9 +49,9 @@ def bench_one(key: str, n_envs: int, T: int, iters: int,
         tr._run_iter()
     jax.block_until_ready(tr.state.params)
     dt = time.perf_counter() - t0
-    steps = iters * T * n_envs
+    steps = iters * T * n_envs * tr.fuse_iters
     return {
-        "algo": key, "n_envs": n_envs, "T": T,
+        "algo": key, "n_envs": n_envs, "T": T, "fuse_iters": tr.fuse_iters,
         "update_per_step": update_per_step,
         "updates_per_collect": tr.n_updates,
         "env_steps_per_s": round(steps / dt, 1),
