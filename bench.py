@@ -48,8 +48,12 @@ def bench_onpolicy() -> dict:
 
     env = make("SafetyCarCircle-v0")
     # throughput shape: wide env batch, reference-equivalent update schedule,
-    # bf16 MXU trunks (validated: same convergence as f32 on BallCircle/BallRun)
-    N, T = 2048, 128
+    # bf16 MXU trunks (validated: same convergence as f32 on BallCircle/BallRun).
+    # (4096, 64) beats (2048, 128) by ~35% — halving the sequential rollout
+    # scan length amortizes per-step kernel latency across a wider batch;
+    # beyond ~260k steps/iter the step is throughput-bound (time scales with
+    # N*T; see the N/T sweep in docs/benchmark.md)
+    N, T = 4096, 64
     algo = PPOLag(env.observation_size, env.action_size, cost_limit=10.0,
                   repeat=4, n_minibatches=4, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
