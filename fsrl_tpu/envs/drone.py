@@ -28,7 +28,10 @@ ANG_DRAG = 2.0
 # in ~0.6s instead of ~3s, which keeps hover recoverable under exploration
 # noise — without it, on-policy learners crash-terminate before they can
 # assign credit for altitude control (see benchmarks/diag_drone.py).
-LIN_DRAG = jnp.array([0.3, 0.3, 1.6])
+# Plain tuple (not jnp.array): a module-level device array would initialize
+# the JAX backend at import time and lock platform selection before user code
+# can call jax.config.update. Converted inside _step_sim (jit-traced, free).
+LIN_DRAG = (0.3, 0.3, 1.6)
 Z_TARGET = 2.0
 VEL_SCALE = 5.0
 
@@ -74,7 +77,7 @@ class DroneEnv(SafeEnv):
         acc = thrust * jnp.array([
             jnp.sin(pitch), -jnp.sin(roll) * jnp.cos(pitch),
             jnp.cos(roll) * jnp.cos(pitch),
-        ]) - jnp.array([0.0, 0.0, G]) - LIN_DRAG * sim.vel
+        ]) - jnp.array([0.0, 0.0, G]) - jnp.asarray(LIN_DRAG) * sim.vel
         vel = sim.vel + DT * acc
         pos = sim.pos + DT * vel
         return DroneSim(pos=pos, vel=vel, att=att, angvel=angvel)

@@ -345,7 +345,15 @@ class OffpolicyTrainerTPU(BaseTrainerTPU):
     800-step collect) that monolith took XLA ~5 minutes to compile on TPU,
     while the chunked programs compile in seconds and the host-side chunk
     loop costs nothing — dispatches are async and only the metric fetch
-    (every ``log_every`` collects) synchronizes."""
+    (every ``log_every`` collects) synchronizes.
+
+    With ``fuse_iters=k`` (k collect+update cycles in one jitted scan) the
+    semantics match k sequential cycles, but — as in the on-policy trainer —
+    train metrics/stats surface only from the LAST cycle of each dispatch:
+    each collect resets the episode aggregates, so roughly (k-1)/k of
+    finished training episodes never reach the ``train/`` tab and epoch
+    train reward/cost means are a 1/k subsample. Test-tab curves are
+    unaffected (evaluation is episode-exact)."""
 
     def __init__(self, *args, buffer_size: int = 100000,
                  update_per_step: float = 0.2, update_chunk: int = 32,
