@@ -35,9 +35,9 @@ def best_from_curve(curve: dict, limit: float) -> tuple[float, float]:
 
 @dataclass
 class SumCfg:
-    dirs: str = ("benchmarks/results,benchmarks/results_1m,"
-                 "benchmarks/results_5m,benchmarks/results_nav,"
-                 "benchmarks/results_velocity")
+    dirs: str = ("benchmarks/results_1m,benchmarks/results_5m,"
+                 "benchmarks/results_velocity,"
+                 "benchmarks/results_velocity_5m")
     plot: bool = True
 
 
