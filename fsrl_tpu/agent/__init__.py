@@ -1,3 +1,5 @@
+"""Agent layer (reference L4): per-algorithm factories with the reference
+default recipes plus convenience ``learn``/``evaluate`` (``fsrl/agent/``)."""
 from fsrl_tpu.agent.agents import (BaseAgentTPU, CPOAgent, CVPOAgent,
                                    DDPGLagAgent, FOCOPSAgent, PPOLagAgent,
                                    RecurrentPPOLagAgent, SACLagAgent,

@@ -27,6 +27,9 @@ from fsrl_tpu.utils.logger import BaseLogger, DummyLogger
 
 
 class BaseAgentTPU:
+    """Policy factory + convenience ``learn``/``evaluate``, mirroring the
+    reference ``BaseAgent`` API (``fsrl/agent/base_agent.py:14-93``)."""
+
     name = "BaseAgent"
     algo_cls = None
     onpolicy = True

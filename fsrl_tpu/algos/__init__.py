@@ -1,3 +1,5 @@
+"""Algorithm layer (reference L1, ``fsrl/policy/``): the seven safe-RL
+algorithms as pure-function updates over flax.struct TrainState pytrees."""
 from fsrl_tpu.algos.ppo_lag import PPOLag, PPOLagState
 from fsrl_tpu.algos.ppo_lag_rnn import RecurrentPPOLag, RecurrentPPOLagState
 from fsrl_tpu.algos.trpo_lag import TRPOLag, TRPOLagState

@@ -53,6 +53,10 @@ class CPOState:
 
 
 class CPO:
+    """Constrained Policy Optimization: trust-region step with the 4-case
+    dual solution, recovery step, and 3-condition backtracking line search
+    (see module docstring; reference ``fsrl/policy/cpo.py``)."""
+
     name = "cpo"
 
     def __init__(

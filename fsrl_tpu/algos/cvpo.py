@@ -62,6 +62,10 @@ class CVPOState:
 
 
 class CVPO:
+    """EM-style Constrained Variational Policy Optimization: E-step particle
+    dual ascent + decoupled-KL M-step (see module docstring; reference
+    ``fsrl/policy/cvpo.py``)."""
+
     name = "cvpo"
 
     def __init__(

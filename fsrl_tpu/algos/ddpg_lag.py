@@ -22,7 +22,7 @@ from fsrl_tpu.algos.common import make_optimizer, soft_update
 from fsrl_tpu.algos.offpolicy_base import sample_nstep_batch
 from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from fsrl_tpu.nets.mlp import DeterministicActor, QCriticEnsemble
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
                                    rescaling_factor)
 
 Array = jax.Array
@@ -41,6 +41,10 @@ class DDPGLagState:
 
 
 class DDPGLag:
+    """Deterministic-actor Lagrangian DDPG with per-metric Q critics and the
+    filtered PID multiplier (see module docstring; reference
+    ``fsrl/policy/ddpg_lag.py``)."""
+
     name = "ddpg_lag"
 
     def __init__(
@@ -117,24 +121,17 @@ class DDPGLag:
                           n_episodes: Array,
                           cost_limit: Array | None = None) -> DDPGLagState:
         """pre_update_fn: PID step from the fresh collect (once per collect,
-        not per gradient step — reference offpolicy trainer semantics).
-
-        Steps the PID only when the collect completed at least one episode:
-        the reference's collects are episode-counted (``episode_per_collect``)
-        so every PID step sees a fresh episodic-cost measurement
-        (``lagrangian_base.py:98-100``). With fixed-length segments a short
-        collect may complete none — re-feeding the stale ``last_ep_cost``
-        would wind the PID integral several times per measurement."""
+        not per gradient step — reference offpolicy trainer semantics), with
+        the EMA-filtered anti-windup controller (``filtered_pid_step``; see
+        ``benchmarks/diag_sacl.py`` for the raw-measurement whipsaw it
+        fixes). Steps only when the collect finished >= 1 episode."""
         if not self.hp["use_lagrangian"]:
             return state
-        cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         kp, ki, kd = self.hp["pid"]
         limit = self.cost_limit if cost_limit is None else cost_limit
-        stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
-        lag = jax.tree.map(
-            lambda new, old: jnp.where(n_episodes > 0, new, old),
-            stepped, state.lag)
-        return state.replace(lag=lag, last_ep_cost=cost_in)
+        lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes, limit,
+                                kp, ki, kd)
+        return state.replace(lag=lag, last_ep_cost=lag.cost_ema)
 
     def update_step(self, state: DDPGLagState, buffer: ReplayBuffer,
                     buf_state: ReplayBufferState, rng: Array,
@@ -152,6 +149,9 @@ class DDPGLag:
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
             target_q_fn, view=view,
         )
+        # nonnegative cost-channel targets (see sac_lag.py — same rationale)
+        rets = jnp.concatenate(
+            [rets[:, :1], jnp.maximum(rets[:, 1:], 0.0)], axis=1)
 
         # ---- critics ----
         def closs(cp):
@@ -172,7 +172,8 @@ class DDPGLag:
             a = self.actor.apply(ap, batch.obs)
             q = self.critics.apply(critics_new, batch.obs, a)[..., 0]  # (B, K)
             loss_rew = -jnp.mean(q[:, 0])
-            loss_safety = jnp.sum(lam_mult * jnp.mean(q[:, 1:], axis=0)) \
+            loss_safety = jnp.sum(
+                lam_mult * jnp.mean(jax.nn.relu(q[:, 1:]), axis=0)) \
                 if hp["use_lagrangian"] else 0.0
             return resc * (loss_rew + loss_safety), loss_rew
 

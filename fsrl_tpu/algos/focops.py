@@ -44,6 +44,10 @@ class FOCOPSState:
 
 
 class FOCOPS:
+    """First-Order Constrained Optimization in Policy Space: non-parametric
+    projection with a learned nu multiplier (see module docstring; reference
+    ``fsrl/policy/focops.py``)."""
+
     name = "focops"
 
     def __init__(

@@ -34,6 +34,8 @@ class NStepView:
 
 def make_nstep_view(buffer: ReplayBuffer, buf_state: ReplayBufferState
                     ) -> NStepView:
+    """Flatten the replay ring's chain/termination/metric arrays once per
+    collect so every gradient step's n-step gather reuses them."""
     return NStepView(
         next_flat=buffer.next_flat(buf_state),
         end_flag=buffer.end_flag_flat(buf_state),

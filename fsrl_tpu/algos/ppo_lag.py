@@ -27,7 +27,7 @@ from flax import struct
 from fsrl_tpu.algos.common import (OnPolicyBatch, make_optimizer, normalize_adv,
                                    process_rollout, select_tree)
 from fsrl_tpu.nets.mlp import GaussianActor, VCriticEnsemble
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
                                    rescaling_factor)
 from fsrl_tpu.types import Transition, minibatch_scan
 
@@ -158,16 +158,18 @@ class PPOLag:
         # collects are episode-counted so each PID step sees fresh data,
         # lagrangian_base.py:98-100; re-feeding a stale cost would wind the
         # integral several times per measurement).
-        cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         limit = self.cost_limit if cost_limit is None else cost_limit
         if hp["use_lagrangian"]:
             kp, ki, kd = hp["pid"]
-            stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
-            lag = jax.tree.map(
-                lambda new, old: jnp.where(n_episodes > 0, new, old),
-                stepped, state.lag)
+            # EMA-filtered anti-windup controller (ops/lagrange.py): on-policy
+            # collects average ~20 episodes so the filter lag is ~2 collects,
+            # and the symmetric integral removes the late-training lambda
+            # ratchet observed on the dense-cost nav "2" tasks
+            lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes,
+                                    limit, kp, ki, kd, horizon=40.0)
         else:
             lag = state.lag
+        cost_in = lag.cost_ema
 
         if hp["rew_norm"]:
             batch, ret_rms = process_rollout(

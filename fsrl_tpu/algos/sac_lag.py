@@ -29,7 +29,7 @@ from fsrl_tpu.algos.offpolicy_base import sample_nstep_batch
 from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from fsrl_tpu.nets.mlp import GaussianActor, QCriticEnsemble
 from fsrl_tpu.nets.distributions import TanhGaussian
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
                                    rescaling_factor)
 
 Array = jax.Array
@@ -50,6 +50,10 @@ class SACLagState:
 
 
 class SACLag:
+    """Tanh-Gaussian SAC with per-metric double-Q critics, auto-alpha, and
+    the filtered PID Lagrangian (see module docstring; reference
+    ``fsrl/policy/sac_lag.py``)."""
+
     name = "sac_lag"
 
     def __init__(
@@ -142,21 +146,18 @@ class SACLag:
     def update_lagrangian(self, state: SACLagState, ep_cost_mean: Array,
                           n_episodes: Array,
                           cost_limit: Array | None = None) -> SACLagState:
-        # Step the PID only on fresh episodic data: the reference's collects
-        # are episode-counted so every PID step sees a new measurement
-        # (lagrangian_base.py:98-100); re-feeding a stale cost each short
-        # fixed-length collect would wind the integral several times per
-        # measurement.
+        # EMA-filtered anti-windup PID (see ops/lagrange.py and
+        # benchmarks/diag_sacl.py): the raw ~2-episode collect mean whipsawed
+        # lambda 0<->25 per measurement spike and the relu'd integral
+        # ratcheted to a policy-collapsing floor — the round-3 late-training
+        # constraint divergence.
         if not self.hp["use_lagrangian"]:
             return state
-        cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         kp, ki, kd = self.hp["pid"]
         limit = self.cost_limit if cost_limit is None else cost_limit
-        stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
-        lag = jax.tree.map(
-            lambda new, old: jnp.where(n_episodes > 0, new, old),
-            stepped, state.lag)
-        return state.replace(lag=lag, last_ep_cost=cost_in)
+        lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes, limit,
+                                kp, ki, kd)
+        return state.replace(lag=lag, last_ep_cost=lag.cost_ema)
 
     def update_step(self, state: SACLagState, buffer: ReplayBuffer,
                     buf_state: ReplayBufferState, rng: Array,
@@ -186,6 +187,13 @@ class SACLag:
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
             target_q_fn, view=view,
         )
+        # Cost-to-go is nonnegative by definition; clamp the cost-channel
+        # targets at 0 so bootstrap noise cannot drag the cost critics
+        # negative. Unclamped, the actor's argmin of lambda*Qc exploits
+        # negative-extrapolation regions and drives a self-reinforcing
+        # spiral (diag_sacl.py observed Qc down to -122 mid-collapse).
+        rets = jnp.concatenate(
+            [rets[:, :1], jnp.maximum(rets[:, 1:], 0.0)], axis=1)
 
         # ---- critics (both heads vs same target) ----
         def closs(cp):
@@ -208,7 +216,10 @@ class SACLag:
             a, logp = dist.sample_and_log_prob(rng_a)
             q = jnp.min(self.critics.apply(critics_new, batch.obs, a), axis=-1)
             loss_rew = jnp.mean(alpha * logp - q[:, 0])
-            loss_safety = jnp.sum(lam_mult * jnp.mean(q[:, 1:], axis=0)) \
+            # relu: a (transient) negative cost-Q is estimation artifact —
+            # zero gradient there beats actively attracting the actor to it
+            loss_safety = jnp.sum(
+                lam_mult * jnp.mean(jax.nn.relu(q[:, 1:]), axis=0)) \
                 if hp["use_lagrangian"] else 0.0
             return resc * (loss_rew + loss_safety), (loss_rew, logp)
 

@@ -31,7 +31,7 @@ from fsrl_tpu.algos.common import (make_optimizer, normalize_adv,
                                    process_rollout)
 from fsrl_tpu.nets.mlp import GaussianActor, VCriticEnsemble
 from fsrl_tpu.ops.cg import conjugate_gradient
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
                                    rescaling_factor)
 from fsrl_tpu.types import Transition
 
@@ -49,6 +49,10 @@ class TRPOLagState:
 
 
 class TRPOLag:
+    """Natural-gradient TRPO on the Lagrangian surrogate: CG + Fisher-vector
+    products + KL-bounded backtracking line search, fully inside jit (see
+    module docstring; reference ``fsrl/policy/trpo_lag.py``)."""
+
     name = "trpo_lag"
 
     def __init__(
@@ -204,16 +208,18 @@ class TRPOLag:
         hp = self.hp
         # PID stepped only on fresh episodic data (see ppo_lag.py: stale
         # re-feeds would wind the integral several times per measurement)
-        cost_in = jnp.where(n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         limit = self.cost_limit if cost_limit is None else cost_limit
         if hp["use_lagrangian"]:
             kp, ki, kd = hp["pid"]
-            stepped = pid_step(state.lag, cost_in, limit, kp, ki, kd)
-            lag = jax.tree.map(
-                lambda new, old: jnp.where(n_episodes > 0, new, old),
-                stepped, state.lag)
+            # EMA-filtered anti-windup controller (ops/lagrange.py): on-policy
+            # collects average ~20 episodes so the filter lag is ~2 collects,
+            # and the symmetric integral removes the late-training lambda
+            # ratchet observed on the dense-cost nav "2" tasks
+            lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes,
+                                    limit, kp, ki, kd, horizon=40.0)
         else:
             lag = state.lag
+        cost_in = lag.cost_ema
         lam_mult = lag.multiplier
         resc = rescaling_factor(lam_mult, hp["rescaling"]) if hp["use_lagrangian"] \
             else jnp.ones(())

@@ -97,4 +97,5 @@ def cli(cfg_cls: Type) -> Callable:
 
 
 def asdict(cfg) -> dict:
+    """Recursively convert a (possibly nested) config dataclass to a dict."""
     return dataclasses.asdict(cfg)

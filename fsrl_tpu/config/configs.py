@@ -254,6 +254,9 @@ class CVPOCfg(TrainCfg):
 # ---------------------------------------------------------------------------
 
 def preset(cfg, total_steps: int, cost_limit: Optional[float] = None):
+    """Rescale a TrainCfg's epochs/steps (and optionally cost_limit) to a
+    total env-step budget — the reference's suite-preset mechanism
+    (``ppol_cfg.py:68-109``)."""
     cfg.epochs = max(1, total_steps // cfg.step_per_epoch)
     if cost_limit is not None:
         cfg.cost_limit = cost_limit
@@ -261,33 +264,41 @@ def preset(cfg, total_steps: int, cost_limit: Optional[float] = None):
 
 
 def bullet_1m(cfg):
+    """Bullet 1M-step preset (``Bullet1MCfg``, cost_limit 10)."""
     return preset(cfg, 1_000_000, 10.0)
 
 
 def bullet_5m(cfg):
+    """Bullet 5M-step preset (``Bullet5MCfg``)."""
     return preset(cfg, 5_000_000, 10.0)
 
 
 def bullet_10m(cfg):
+    """Bullet 10M-step preset (``Bullet10MCfg``)."""
     return preset(cfg, 10_000_000, 10.0)
 
 
 def mujoco_base(cfg):
+    """Mujoco/velocity base preset: 5M steps, cost_limit 25
+    (``MujocoBaseCfg``, ``ppol_cfg.py:87-94``)."""
     cfg.step_per_epoch = 20000
     return preset(cfg, 5_000_000, 25.0)
 
 
 def mujoco_2m(cfg):
+    """Mujoco 2M-step preset (``Mujoco2MCfg``)."""
     cfg.step_per_epoch = 20000
     return preset(cfg, 2_000_000, 25.0)
 
 
 def mujoco_10m(cfg):
+    """Mujoco 10M-step preset (``Mujoco10MCfg``)."""
     cfg.step_per_epoch = 20000
     return preset(cfg, 10_000_000, 25.0)
 
 
 def mujoco_20m(cfg):
+    """Mujoco 20M-step preset (``Mujoco20MCfg``)."""
     cfg.step_per_epoch = 20000
     return preset(cfg, 20_000_000, 25.0)
 
@@ -306,5 +317,7 @@ TASK_TO_PRESET = {
 
 
 def apply_task_preset(cfg):
+    """Apply the task's registered suite preset to cfg in place — the
+    reference's ``TASK_TO_CFG`` dispatch (``train_ppol_agent.py:29-62``)."""
     fn = TASK_TO_PRESET.get(cfg.task)
     return fn(cfg) if fn else cfg

@@ -35,6 +35,8 @@ ActFn = Callable[[dict, Array, Array], tuple[Array, Array]]
 
 
 def map_action(act: Array, low: float, high: float) -> Array:
+    """Clip the raw policy output to [-1, 1] and affinely scale to
+    [low, high] — the reference action remap (``base_policy.py:226-256``)."""
     act = jnp.clip(act, -1.0, 1.0)
     return low + (high - low) * (act + 1.0) / 2.0
 

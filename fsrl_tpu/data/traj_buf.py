@@ -27,6 +27,10 @@ KEYS = ("observations", "next_observations", "actions", "rewards", "costs",
 
 
 class TrajectoryBuffer:
+    """Episode-level store for offline safe-RL dataset generation:
+    reward/cost-return range acceptance, 2-D grid density filter, HDF5
+    export (reference ``fsrl/data/traj_buf.py``)."""
+
     def __init__(
         self,
         max_trajectory: int = 99999,

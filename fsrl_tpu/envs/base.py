@@ -127,6 +127,7 @@ _REGISTRY: dict[str, Callable[[], SafeEnv]] = {}
 
 
 def register(name: str, ctor: Callable[[], SafeEnv]) -> None:
+    """Register a task constructor under a gym-style name."""
     _REGISTRY[name] = ctor
 
 
@@ -141,5 +142,6 @@ def make(name: str, **kwargs) -> SafeEnv:
 
 
 def registered_tasks() -> list[str]:
+    """All registered task names (the ``make`` registry)."""
     import fsrl_tpu.envs  # noqa: F401
     return sorted(_REGISTRY)

@@ -25,6 +25,10 @@ import numpy as np
 
 
 class HostVectorEnv:
+    """Thread-pooled vectorized host (gymnasium) env — the escape hatch for
+    real-physics envs (reference Shmem/SubprocVectorEnv analog; threads
+    instead of processes because MuJoCo releases the GIL)."""
+
     def __init__(self, env_fns: Sequence[Callable], num_threads: int = 8):
         self.envs = [fn() for fn in env_fns]
         self.n = len(self.envs)

@@ -50,4 +50,5 @@ def make_velocity_vector_env(task: str, n_envs: int = 10):
 
 
 def velocity_tasks() -> list[str]:
+    """Available Safety-Gymnasium velocity task names (host MuJoCo)."""
     return sorted(VELOCITY_LIMITS)

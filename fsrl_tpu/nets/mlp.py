@@ -30,6 +30,8 @@ SIGMA_MIN, SIGMA_MAX = -20.0, 2.0
 
 
 def orthogonal_init(scale: float = 1.0):
+    """Orthogonal kernel init with gain — the reference's net init recipe
+    (``ppo_lag_agent.py:147-161``)."""
     return nn.initializers.orthogonal(scale)
 
 

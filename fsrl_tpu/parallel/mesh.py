@@ -29,6 +29,8 @@ HOST_AXIS = "host"
 
 
 def make_mesh(n_devices: int | None = None, axis: str = DP_AXIS) -> Mesh:
+    """Build a 1-D data-parallel ``jax.sharding.Mesh`` over the available
+    devices (SURVEY.md §2.9: the learner's distributed axis)."""
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
@@ -87,6 +89,7 @@ def env_sharding(mesh: Mesh, batch_axis: int = 0, axis: str = DP_AXIS
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """NamedSharding that replicates an array across the whole mesh."""
     return NamedSharding(mesh, P())
 
 
@@ -109,5 +112,6 @@ def shard_env_state(mesh: Mesh, env_state: Any, axis: str = DP_AXIS) -> Any:
 
 
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Place every leaf of a pytree replicated across the mesh."""
     rep = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

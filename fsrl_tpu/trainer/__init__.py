@@ -1,3 +1,5 @@
+"""Trainer layer (reference L3, ``fsrl/trainer/``): fused on/off-policy
+epoch iterators for on-device envs plus host-env trainer variants."""
 from fsrl_tpu.trainer.host_trainer import (HostOffpolicyTrainer,
                                            HostOnpolicyTrainer)
 from fsrl_tpu.trainer.trainer import (BaseTrainerTPU, OffpolicyTrainerTPU,

@@ -37,6 +37,10 @@ from fsrl_tpu.utils.logger import BaseLogger, DummyLogger
 
 
 class HostOnpolicyTrainer:
+    """On-policy trainer over host (CPU gymnasium) envs: host rollout with
+    local-CPU inference fast path + jitted whole-segment update — used for
+    the real-MuJoCo velocity suite."""
+
     def __init__(
         self,
         algo,

@@ -60,6 +60,11 @@ def perf_is_better(new_rew, new_cost, old_rew, old_cost, cost_limit) -> bool:
 
 
 class BaseTrainerTPU:
+    """Epoch-iterator trainer skeleton (reference ``BaseTrainer``,
+    ``base_trainer.py:177-245``): inner loop of jitted train iterations to
+    ``step_per_epoch``, then episode-exact test, feasibility-first best
+    checkpointing, ``stop_fn`` early stop, and speed counters."""
+
     def __init__(
         self,
         algo,

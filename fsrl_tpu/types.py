@@ -178,10 +178,12 @@ def tree_flatten_time(tree: PyTree) -> PyTree:
 
 
 def tree_concat(trees: list, axis: int = 0) -> PyTree:
+    """Concatenate a list of pytrees leaf-wise along ``axis``."""
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=axis), *trees)
 
 
 def tree_stack(trees: list, axis: int = 0) -> PyTree:
+    """Stack a list of pytrees leaf-wise along a new ``axis``."""
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=axis), *trees)
 
 

@@ -52,6 +52,7 @@ class RunningAverage:
 
 
 def colorize(string: str, color: str = "green", bold: bool = False) -> str:
+    """ANSI-colorize a string — reference ``logger_util.colorize``."""
     colors = dict(gray=30, red=31, green=32, yellow=33, blue=34, magenta=35,
                   cyan=36, white=37)
     attr = [str(colors.get(color, 32))] + (["1"] if bold else [])

@@ -4,7 +4,8 @@
 SHELL = /bin/bash
 PYTHONPATH_EXTRA = $(CURDIR)
 
-.PHONY: test test-fast lint format bench curves summaries native clean
+.PHONY: test test-fast lint format bench curves summaries native docs \
+	docs-check clean
 
 # full suite on the 8-device virtual CPU mesh (conftest forces platform)
 test:
@@ -38,6 +39,16 @@ curves:
 # source of truth); tests/test_summaries.py gates that these stay in sync
 summaries:
 	PYTHONPATH=$(PYTHONPATH_EXTRA) python benchmarks/make_summaries.py
+
+# build the static docs site (API autodoc + tutorials) into
+# docs/_build/html; fails on missing public docstrings — the analog of the
+# reference's sphinx + pydocstyle/doc8 gates (reference makefile:36-62)
+docs:
+	PYTHONPATH=$(PYTHONPATH_EXTRA) python tools/build_docs.py
+
+# docstring-coverage gate only (no HTML output) — used by CI
+docs-check:
+	PYTHONPATH=$(PYTHONPATH_EXTRA) python tools/build_docs.py --check
 
 clean:
 	find . -name __pycache__ -type d -prune -exec rm -rf {} \;

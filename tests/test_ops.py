@@ -9,7 +9,8 @@ import pytest
 
 from fsrl_tpu.ops.cg import conjugate_gradient, make_fvp
 from fsrl_tpu.ops.gae import discounted_returns, gae_advantages
-from fsrl_tpu.ops.lagrange import PIDLagrangianState, pid_step, rescaling_factor
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
+                                   pid_step, rescaling_factor)
 from fsrl_tpu.ops.nstep import nstep_forward_indices, nstep_targets
 from fsrl_tpu.ops.running_stats import RunningMeanStd
 
@@ -314,3 +315,70 @@ def test_minibatch_scan_block_local_shuffle():
         assert (counts == rows.size // n_blocks).all(), counts
         # block-major inside the minibatch: the sharded axis stays contiguous
         assert (np.sort(blocks) == blocks).all()
+
+
+# ---------------------------------------------------------------------------
+# filtered PID (off-policy controller hardening, benchmarks/diag_sacl.py)
+
+def test_filtered_pid_ema_is_running_mean_then_ema():
+    """First `horizon` episodes: exact running mean; after: ~horizon EMA."""
+    limits = jnp.array([25.0])
+    st = PIDLagrangianState.init(1)
+    # 3 collects of 2 episodes each with costs 10, 40, 10: running mean
+    costs = [10.0, 40.0, 10.0]
+    for c in costs:
+        st = filtered_pid_step(st, jnp.array([c]), jnp.asarray(2),
+                               limits, 0.05, 0.0005, 0.1, horizon=10.0)
+    assert float(st.cost_ema[0]) == pytest.approx(np.mean(costs), rel=1e-5)
+    assert float(st.ema_n) == pytest.approx(6.0)
+    # once ema_n caps at horizon, one 2-episode collect moves the filter
+    # by 2/(10+2) of the innovation
+    st = st.replace(ema_n=jnp.asarray(10.0))
+    before = float(st.cost_ema[0])
+    st = filtered_pid_step(st, jnp.array([100.0]), jnp.asarray(2),
+                           limits, 0.05, 0.0005, 0.1, horizon=10.0)
+    want = before + (2 / 12) * (100.0 - before)
+    assert float(st.cost_ema[0]) == pytest.approx(want, rel=1e-5)
+
+
+def test_filtered_pid_holds_without_episodes():
+    limits = jnp.array([25.0])
+    st = filtered_pid_step(PIDLagrangianState.init(1), jnp.array([300.0]),
+                           jnp.asarray(2), limits, 0.05, 0.0005, 0.1)
+    st2 = filtered_pid_step(st, jnp.array([999.0]), jnp.asarray(0),
+                            limits, 0.05, 0.0005, 0.1)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_filtered_pid_integral_is_symmetric():
+    """A one-collect spike adds at most +limit to the integral (anti-
+    ratchet) while a feasible collect drains up to -limit — the raw
+    recurrence instead gains (cost-limit) per spike and was observed to
+    ratchet to ~9000 (lambda floor ~4.6) on SafetyBallRun."""
+    limits = jnp.array([25.0])
+    st = PIDLagrangianState.init(1)
+    # huge spike from a policy already at the EMA steady state
+    st = st.replace(cost_ema=jnp.array([300.0]), ema_n=jnp.asarray(10.0))
+    st = filtered_pid_step(st, jnp.array([300.0]), jnp.asarray(10),
+                           limits, 0.0, 1.0, 0.0)
+    assert float(st.error_integral[0]) == pytest.approx(25.0)  # clipped
+    # feasible collect drains the same amount
+    st = st.replace(cost_ema=jnp.array([0.0]))
+    st = filtered_pid_step(st, jnp.array([0.0]), jnp.asarray(10),
+                           limits, 0.0, 1.0, 0.0)
+    assert float(st.error_integral[0]) == pytest.approx(0.0)
+
+
+def test_filtered_pid_sustained_violation_grows_unbounded():
+    """Steady-state authority preserved: a sustained true violation keeps
+    growing lambda (the clip only caps the PER-STEP increment)."""
+    limits = jnp.array([25.0])
+    st = PIDLagrangianState.init(1)
+    lam_prev = 0.0
+    for _ in range(50):
+        st = filtered_pid_step(st, jnp.array([200.0]), jnp.asarray(5),
+                               limits, 0.05, 0.0005, 0.1)
+    assert float(st.multiplier[0]) > lam_prev
+    assert float(st.error_integral[0]) == pytest.approx(
+        50 * 25.0, rel=0.05)  # ~+limit per step once EMA converges
