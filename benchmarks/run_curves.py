@@ -57,12 +57,20 @@ class CurveCfg:
     seeds: str = "0"
     outdir: str = "benchmarks/results"
     log_every: int = 5              # train-metric fetch cadence (collects)
+    # optional PID override for the PID-Lagrangian on-policy algos
+    # (ppol/trpol): "kp,ki,kd". The dense-cost nav "2" tasks need a stronger
+    # integral than the Bullet default to reach the lambda equilibrium
+    # in-budget (see /tmp-era gain sweep results in docs/nav_fidelity.md).
+    pid_onpolicy: str = ""
 
 
 def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
     agent_cls, onpolicy, kw = AGENTS[key]
     budget = cfg.budget if onpolicy else cfg.off_budget
     epochs = max(1, budget // cfg.step_per_epoch)
+    if cfg.pid_onpolicy and key in ("ppol", "trpol"):
+        kw = dict(kw, lagrangian_pid=tuple(
+            float(x) for x in cfg.pid_onpolicy.split(",")))
     agent = agent_cls(cfg.task, cost_limit=cfg.cost_limit, seed=seed, **kw)
     curve = {"env_step": [], "reward": [], "cost": []}
     t0 = time.time()
@@ -103,6 +111,8 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
     rew, length, cost = agent.evaluate(n_episodes=20, seed=seed + 1000)
     return {
         "algo": key, "task": cfg.task, "seed": seed,
+        **({"pid": cfg.pid_onpolicy} if cfg.pid_onpolicy and
+           key in ("ppol", "trpol") else {}),
         "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
         "n_envs": common["n_envs"],
         "steps_per_collect": common["steps_per_collect"],

@@ -108,24 +108,32 @@ def main(cfg: VelFidCfg):
                 vals = [v for v in vals if v[3]]
             mean_r = sum(v[0] for v in vals) / len(vals)
             mean_c = sum(v[1] for v in vals) / len(vals)
+            flags = []
+            if mean_c > 1.2 * 25.0:
+                flags.append("INFEASIBLE")
             if algo in ref:
                 rv, rb = ref[algo]
                 ref_s = f"~{rv} @ {rb}"
                 ratio = f"{mean_r / rv:.2f}x"
+                # flag real gaps at matched budget (reference plateau at 5M
+                # and ours ran >= that budget)
+                if rb == "5M" and top >= 5_000_000 and mean_r / rv < 0.8:
+                    flags.append("GAP")
             else:
                 ref_s, ratio = "(none published)", "—"
+            flag_s = " **" + "+".join(flags) + "**" if flags else ""
             lines.append(
                 f"| {task} | {algo} | {ref_s} | "
                 f"{mean_r:.0f} (cost {mean_c:.0f}, n={len(vals)}) | "
-                f"{top/1e6:.1f}M | {ratio} |")
+                f"{top/1e6:.1f}M | {ratio}{flag_s} |")
     lines += [
         "",
         "Reference curves are TRAIN reward (stochastic policy, running",
         "mean); our numbers are deterministic-eval test checkpoints, which",
         "typically read slightly higher than the train curve at the same",
-        "policy quality. Ratios well below 1.0 at matched budgets indicate",
-        "a real gap; ratios at reduced budgets are labeled by the budget",
-        "column.",
+        "policy quality. **GAP** marks cells at matched (>=5M) budget with",
+        "ratio < 0.8x — a real miss, not a budget artifact; **INFEASIBLE**",
+        "marks cells whose quoted best violates cost <= 1.2x limit.",
     ]
     os.makedirs(os.path.dirname(cfg.out), exist_ok=True)
     with open(cfg.out, "w") as f:
