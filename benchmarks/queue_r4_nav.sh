@@ -40,4 +40,17 @@ run_cell() {  # task algo
 run_cell SafetyPointGoal2-v0 ppol
 run_cell SafetyPointGoal2-v0 trpol
 run_cell SafetyPointButton1-v0 trpol
+
+# FOCOPS Goal2: infeasible at the reference nu_max=2 ceiling (best cost 57);
+# raise the ceiling so nu can reach the dense-reward equilibrium
+focops_cell() {
+  [ "$(date +%s)" -ge "$DEADLINE" ] && { echo "deadline, skip focops"; return; }
+  rm -f "$OUT/SafetyPointGoal2-v0-focops-s"{0,1,2}.json
+  timeout 4200 nice -n 5 python benchmarks/run_curves.py \
+    --task SafetyPointGoal2-v0 --algos focops --seeds 0,1,2 \
+    --cost_limit 25.0 --budget 1000000 --outdir "$OUT" --nu_max 10.0 \
+    || { echo "FAILED: focops Goal2"; return; }
+  commit_results "nav Goal2/focops nu_max=10"
+}
+focops_cell
 echo "queue_r4_nav complete"

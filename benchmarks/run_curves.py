@@ -62,6 +62,9 @@ class CurveCfg:
     # integral than the Bullet default to reach the lambda equilibrium
     # in-budget (see /tmp-era gain sweep results in docs/nav_fidelity.md).
     pid_onpolicy: str = ""
+    # optional FOCOPS nu ceiling override (0 = reference default 2.0) — the
+    # same dense-reward scale argument: Goal2 needs nu beyond 2
+    nu_max: float = 0.0
 
 
 def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
@@ -71,6 +74,8 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
     if cfg.pid_onpolicy and key in ("ppol", "trpol"):
         kw = dict(kw, lagrangian_pid=tuple(
             float(x) for x in cfg.pid_onpolicy.split(",")))
+    if cfg.nu_max and key == "focops":
+        kw = dict(kw, nu_max=cfg.nu_max)
     agent = agent_cls(cfg.task, cost_limit=cfg.cost_limit, seed=seed, **kw)
     curve = {"env_step": [], "reward": [], "cost": []}
     t0 = time.time()
@@ -113,6 +118,7 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
         "algo": key, "task": cfg.task, "seed": seed,
         **({"pid": cfg.pid_onpolicy} if cfg.pid_onpolicy and
            key in ("ppol", "trpol") else {}),
+        **({"nu_max": cfg.nu_max} if cfg.nu_max and key == "focops" else {}),
         "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
         "n_envs": common["n_envs"],
         "steps_per_collect": common["steps_per_collect"],
