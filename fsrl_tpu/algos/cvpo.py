@@ -40,6 +40,7 @@ from fsrl_tpu.algos.offpolicy_base import sample_nstep_batch
 from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from fsrl_tpu.nets.distributions import DiagGaussian, gaussian_kl_decoupled
 from fsrl_tpu.nets.mlp import GaussianActor, QCriticEnsemble
+from fsrl_tpu.ops.lagrange import PIDLagrangianState, filtered_pid_step
 
 Array = jax.Array
 EPS = 1.1920929e-06  # float32 eps * 10, reference cvpo.py:163
@@ -56,6 +57,7 @@ class CVPOState:
     estep_opt_state: Any
     mstep_dual: Array            # (2,) — [dual_mu, dual_std]
     mstep_opt_state: Any
+    lag: PIDLagrangianState      # realized-cost backstop dual (see E-step)
     last_ep_cost: Array
     update_count: Array
     gradient_steps: Array
@@ -94,6 +96,10 @@ class CVPO:
         mstep_kl_std: float = 0.0005,
         mstep_dual_max: float = 0.5,
         mstep_dual_lr: float = 0.1,
+        # Backstop gains: integral-dominated and SLOW by design — the
+        # backstop exists for sustained critic-lag infeasibility, not for
+        # transient spikes (kd=0: no derivative kick; small kp)
+        lagrangian_pid=(0.01, 0.0005, 0.0),
         double_critic: bool = True,
         max_action: float = 1.0,
         batch_size: int = 256,
@@ -107,6 +113,7 @@ class CVPO:
         # per-step qc threshold (cvpo.py:128-133)
         self._qc_coeff = (1 - gamma**max_episode_steps) / (1 - gamma) \
             / max_episode_steps
+        self.cost_limit = jnp.asarray(cl, jnp.float32)  # episodic (PID backstop)
         self.qc_thres = jnp.asarray([c * self._qc_coeff for c in cl],
                                     jnp.float32)
         self.hp = dict(
@@ -115,7 +122,7 @@ class CVPO:
             estep_dual_max=estep_dual_max, sample_act_num=sample_act_num,
             mstep_iter_num=mstep_iter_num, mstep_kl_mu=mstep_kl_mu,
             mstep_kl_std=mstep_kl_std, mstep_dual_max=mstep_dual_max,
-            batch_size=batch_size,
+            batch_size=batch_size, pid=tuple(lagrangian_pid),
         )
         self.deterministic_eval = deterministic_eval
         self.actor = GaussianActor(
@@ -149,6 +156,7 @@ class CVPO:
             estep_opt_state=self.estep_tx.init(estep_dual),
             mstep_dual=mstep_dual,
             mstep_opt_state=self.mstep_tx.init(mstep_dual),
+            lag=PIDLagrangianState.init(self.num_costs),
             last_ep_cost=jnp.zeros((self.num_costs,)),
             update_count=jnp.zeros((), jnp.int32),
             gradient_steps=jnp.zeros((), jnp.int32),
@@ -165,6 +173,25 @@ class CVPO:
         return act, dist.log_prob(act)
 
     # ------------------------------------------------------------------
+    def update_lagrangian(self, state: CVPOState, ep_cost_mean: Array,
+                          n_episodes: Array,
+                          cost_limit: Array | None = None) -> CVPOState:
+        """Realized-cost backstop dual (deliberate extension of the
+        reference, diagnosed in ``benchmarks/diag_cvpo.py``): the E-step
+        dual reads the constraint exclusively through the cost CRITIC, and
+        on fast-improving dense-reward tasks the critic lags realized cost
+        ~3-5x — the dual then saturates/collapses in a limit cycle and the
+        Button tasks never produce a feasible checkpoint. The filtered PID
+        on REALIZED episodic cost (the same signal the Lagrangian family
+        uses) provides a floor for the E-step lambda that cannot be fooled
+        by critic lag; it is ~0 whenever the policy is actually feasible,
+        leaving the E-step in control."""
+        kp, ki, kd = self.hp["pid"]
+        limit = self.cost_limit if cost_limit is None else cost_limit
+        lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes, limit,
+                                kp, ki, kd)
+        return state.replace(lag=lag, last_ep_cost=lag.cost_ema)
+
     def pre_update(self, state: CVPOState) -> CVPOState:
         """Per-collect M-step dual + optimizer re-init (cvpo.py:178-188)."""
         mstep_dual = jnp.zeros((2,))
@@ -194,12 +221,23 @@ class CVPO:
             a = dist.sample(rng_t)
             q = self.critics.apply(state.target_critic_params,
                                    term_batch.obs_next, a)
-            return jnp.min(q, axis=-1)  # (B, K)
+            # min over heads for the reward channel (anti-overestimation);
+            # MEAN over heads for cost channels: min-head systematically
+            # underestimates where the actor exploits it, while max-head
+            # overshoots the small per-step qc threshold by the head spread
+            # (both observed in diag_cvpo.py) — the unbiased mean plus the
+            # realized-cost backstop (update_lagrangian) is the stable pair
+            head_mask = (jnp.arange(self.K) == 0)
+            return jnp.where(head_mask[None, :], jnp.min(q, axis=-1),
+                             jnp.mean(q, axis=-1))  # (B, K)
 
         batch, rets = sample_nstep_batch(
             buffer, buf_state, rng, hp["batch_size"], hp["n_step"], hp["gamma"],
             target_q_fn, view=view,
         )
+        # cost-to-go is nonnegative by definition (same clamp as sac_lag.py)
+        rets = jnp.concatenate(
+            [rets[:, :1], jnp.maximum(rets[:, 1:], 0.0)], axis=1)
 
         def closs(cp):
             q = self.critics.apply(cp, batch.obs, batch.act)    # (B, K, nq)
@@ -223,9 +261,11 @@ class CVPO:
             critics_new,
             exp_obs.reshape(Kp * B, -1), sample_act.reshape(Kp * B, -1),
         )                                                        # (Kp*B, K, nq)
-        q_all = jnp.min(q_all, axis=-1).reshape(Kp, B, self.K)   # (Kp, B, K)
-        q_all = jnp.transpose(q_all, (1, 0, 2))                  # (B, Kp, K)
-        q0, qc = q_all[..., 0], q_all[..., 1:]                   # (B,Kp), (B,Kp,M)
+        # reward: min over heads; costs: mean over heads (see target_q_fn)
+        q_min = jnp.min(q_all, axis=-1).reshape(Kp, B, self.K)
+        q_mean = jnp.mean(q_all, axis=-1).reshape(Kp, B, self.K)
+        q0 = jnp.transpose(q_min[..., 0], (1, 0))                # (B, Kp)
+        qc = jnp.transpose(q_mean[..., 1:], (1, 0, 2))           # (B, Kp, M)
 
         def estep_loss_fn(dual):
             eta = dual[0]
@@ -250,7 +290,10 @@ class CVPO:
         estep_dual = jnp.clip(estep_dual, EPS, hp["estep_dual_max"])
 
         eta = estep_dual[0]
-        lam = estep_dual[1:]
+        # realized-cost backstop: floor the critic-derived dual with the PID
+        # multiplier (update_lagrangian docstring) — zero when feasible, so
+        # the E-step stays in control except under critic lag
+        lam = jnp.maximum(estep_dual[1:], state.lag.multiplier)
         combined = q0 - jnp.einsum("m,bkm->bk", lam, qc)          # (B, Kp)
         optimal_q = jax.nn.softmax(combined / eta, axis=1)        # (B, Kp)
         optimal_q = jax.lax.stop_gradient(optimal_q)

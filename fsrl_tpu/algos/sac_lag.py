@@ -172,7 +172,13 @@ class SACLag:
             a, logp = dist.sample_and_log_prob(rng_t)
             q = self.critics.apply(state.target_critic_params,
                                    term_batch.obs_next, a)     # (B, K, 2)
-            minq = jnp.min(q, axis=-1)                          # (B, K)
+            # reward: min over heads (anti-overestimation); costs: MAX over
+            # heads — the actor seeks LOW cost, so the maximization-bias
+            # argument flips and min-head cost bootstrap underestimates
+            # exactly where the actor exploits it (see diag_cvpo.py)
+            head_mask = (jnp.arange(self.K) == 0)
+            minq = jnp.where(head_mask[None, :], jnp.min(q, axis=-1),
+                             jnp.max(q, axis=-1))               # (B, K)
             # Entropy bonus only in the REWARD critic's target. The reference
             # subtracts alpha*logp from every critic (sac_lag.py:136-145),
             # which makes the cost critics estimate cost-to-go MINUS
@@ -214,7 +220,10 @@ class SACLag:
         def aloss(ap):
             dist = self._dist(ap, batch.obs)
             a, logp = dist.sample_and_log_prob(rng_a)
-            q = jnp.min(self.critics.apply(critics_new, batch.obs, a), axis=-1)
+            q_all = self.critics.apply(critics_new, batch.obs, a)  # (B, K, 2)
+            head_mask = (jnp.arange(self.K) == 0)
+            q = jnp.where(head_mask[None, :], jnp.min(q_all, axis=-1),
+                          jnp.max(q_all, axis=-1))               # (B, K)
             loss_rew = jnp.mean(alpha * logp - q[:, 0])
             # relu: a (transient) negative cost-Q is estimation artifact —
             # zero gradient there beats actively attracting the actor to it

@@ -50,7 +50,7 @@ class RolloutResult(NamedTuple):
 
 
 def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int,
-                    init_hidden=None):
+                    init_hidden=None, unroll: int = 1):
     """Build ``rollout(params, env_state, stats, rng)`` collecting a
     (num_steps, N_envs) segment. Pure and jittable; N is implied by env_state.
 
@@ -92,8 +92,12 @@ def make_rollout_fn(env: SafeEnv, act_fn: ActFn, num_steps: int,
             )
             return (env_state, stats, hidden, rng), tr
 
+        # unroll>1 replicates the step body inside the compiled loop,
+        # cutting per-iteration loop overhead — worthwhile when the rollout
+        # scan is latency- (not bandwidth-) bound, see bench_phases.py
         (env_state, stats, hidden, rng), transitions = jax.lax.scan(
-            step, (env_state, stats, hidden, rng), None, length=num_steps
+            step, (env_state, stats, hidden, rng), None, length=num_steps,
+            unroll=unroll,
         )
         return RolloutResult(env_state, stats, transitions, hidden, hidden0)
 
