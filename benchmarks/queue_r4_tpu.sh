@@ -26,8 +26,9 @@ done
 commit_results() {
   python benchmarks/make_summaries.py --dirs "$OUT" >/dev/null 2>&1
   python benchmarks/nav_fidelity.py >/dev/null 2>&1
+  python benchmarks/env_fidelity.py >/dev/null 2>&1
   for i in 1 2 3; do
-    git add "$OUT" docs/nav_fidelity.md 2>/dev/null && \
+    git add "$OUT" docs/nav_fidelity.md docs/env_fidelity.md 2>/dev/null && \
       git commit -q -m "results: $1 (r4 queue)" && break
     sleep 5   # index.lock contention with the interactive session
   done

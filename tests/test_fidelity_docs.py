@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.parametrize("script,doc", [
     ("benchmarks/nav_fidelity.py", "docs/nav_fidelity.md"),
     ("benchmarks/velocity_fidelity.py", "docs/velocity_fidelity.md"),
+    ("benchmarks/env_fidelity.py", "docs/env_fidelity.md"),
 ])
 def test_fidelity_doc_matches_regeneration(tmp_path, script, doc):
     out = tmp_path / "regen.md"
