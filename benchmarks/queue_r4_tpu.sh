@@ -63,8 +63,10 @@ for f in \
   "SafetyAntCircle-v0 sacl 0 --off_budget 500000" \
   ; do
   set -- $f
-  if [ "$(date +%s)" -lt "$DEADLINE" ]; then
+  marker="$OUT/.r4_rerun_$1_$2"
+  if [ ! -f "$marker" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; then
     for s in ${3//,/ }; do rm -f "$OUT/$1-$2-s$s.json"; done
+    touch "$marker"
   fi
   run_cell "$1" "$2" "$3" "$4" "$5"
 done
@@ -82,8 +84,10 @@ for f in \
   "SafetyPointPush1-v0 cvpo 1 --off_budget 500000" \
   ; do
   set -- $f
-  if [ "$(date +%s)" -lt "$DEADLINE" ]; then
+  marker="$OUT/.r4_rerun_$1_$2"
+  if [ ! -f "$marker" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; then
     for s in ${3//,/ }; do rm -f "$OUT/$1-$2-s$s.json"; done
+    touch "$marker"
   fi
   run_cell "$1" "$2" "$3" "$4" "$5"
 done
