@@ -152,6 +152,25 @@ def main(cfg: FidCfg):
         "  (constraint pressure is real), Lagrangian/trust-region methods",
         "  regulate the cost to the limit, and the reward ordering between",
         "  algorithm families is broadly preserved.",
+        "",
+        "## Diagnosed cells (committed analyses for sub-0.8x rows)",
+        "",
+        "- **DroneRun trpol/cpo/ddpgl (0.22-0.44x)**: the trust-region /",
+        "  deterministic families converge to the degenerate feasible",
+        "  solution 'crash immediately' (final episode length ~48, cost 0,",
+        "  reward ~8): a dead drone pays no episodic cost, so under the",
+        "  early infeasible phase's wound-up multiplier the monotone",
+        "  natural-gradient step walks into that basin and never escapes.",
+        "  Unconstrained TRPO reaches 3526 on the same dynamics, target_kl",
+        "  sweeps don't move the stall, and cost-limit annealing escapes",
+        "  only transiently — full experiment record in",
+        "  `benchmarks/diag_drone_trpol.py`. An env-dynamics defect is",
+        "  ruled out; this is an algorithm-class x crash-termination",
+        "  interaction (PPO escapes via clipped stochastic updates).",
+        "- **AntRun cvpo/focops (~0.63x)**: reward-scale shortfall with the",
+        "  constraint held; both families regulate cost correctly and the",
+        "  per-task algorithm ordering is preserved (cvpo/focops also trail",
+        "  on-policy PPO on the reference's own AntRun curve).",
     ]
     os.makedirs(os.path.dirname(cfg.out), exist_ok=True)
     with open(cfg.out, "w") as f:
