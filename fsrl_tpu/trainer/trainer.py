@@ -265,8 +265,13 @@ class OnpolicyTrainerTPU(BaseTrainerTPU):
     iterations; train metrics/stats surface from the last iteration of each
     dispatch (set ``log_every`` accordingly)."""
 
-    def __init__(self, *args, fuse_iters: int = 1, **kwargs):
+    def __init__(self, *args, fuse_iters: int = 1, rollout_unroll: int = 1,
+                 **kwargs):
         self.fuse_iters = max(1, int(fuse_iters))
+        # lax.scan unroll for the rollout loop: replicates the step body in
+        # the compiled loop, amortizing per-iteration overhead when the
+        # rollout is latency-bound (measured in benchmarks/bench_phases.py)
+        self.rollout_unroll = max(1, int(rollout_unroll))
         super().__init__(*args, **kwargs)
 
     def _build(self):
@@ -294,7 +299,8 @@ class OnpolicyTrainerTPU(BaseTrainerTPU):
 
             self.train_iter = jax.jit(train_iter, donate_argnums=(0, 1, 2, 3))
         else:
-            rollout = make_rollout_fn(self.env, algo.act_fn, self.T)
+            rollout = make_rollout_fn(self.env, algo.act_fn, self.T,
+                                      unroll=self.rollout_unroll)
 
             def train_iter(state, env_state, stats, rng):
                 rng, k1, k2 = jax.random.split(rng, 3)
