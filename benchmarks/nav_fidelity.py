@@ -143,12 +143,17 @@ def main(cfg: NavFidCfg):
         "Known analysis for the partially-feasible cells:",
         "",
         "- **Button1 sacl** (2/3 seeds above limit; bests 77-84, finals",
-        "  ~50 = 2x limit, down from 113-207 pre-hardening): SAC's",
-        "  reference-default STOCHASTIC evaluation rides the entropy",
-        "  temperature through the moving-gremlin field, setting a",
-        "  contact-cost floor that deterministic-eval families avoid",
-        "  (ddpgl holds 201@9 on the same env); the reference never gets",
-        "  sacl to learn Button at all (reward -3).",
+        "  ~50 = 2x limit, down from 113-207 pre-hardening). Probed and",
+        "  REFUTED: eval stochasticity (deterministic eval of the same",
+        "  policy reads 53.8 vs 52.8) and the entropy temperature (fixed",
+        "  alpha 0.005/0.05 lands at the same ~48-50 final cost). The",
+        "  actual mechanism: SAC's Q-guided actor converges to a",
+        "  high-reward attractor (reward ~1200 at cost ~50) from which the",
+        "  lambda*Qc gradient cannot descend — the feasible frontier that",
+        "  on-policy methods find (ppol 556@24) has less than half the",
+        "  reward, and the cost critic's resolution around the moving",
+        "  gremlins cannot steer between the two basins. The reference",
+        "  never gets sacl to learn Button at all (reward -3).",
         "- **Goal2 trpol** (1/3 seeds feasible even at the ki-4x integral",
         "  retune): the natural-gradient step on the combined surrogate",
         "  tracks the multiplier more stiffly than PPO's clipped updates;",
