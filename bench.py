@@ -158,8 +158,14 @@ def bench_onpolicy() -> dict:
             "t_compute_ms": round(t_compute * 1e3, 3),
             "t_hbm_ms": round(t_hbm * 1e3, 3),
             "t_measured_ms": round(iter_s * 1e3, 3),
+            # "serialization": measured far above both floors — phase
+            # attribution (benchmarks/bench_phases.py) shows the gap is
+            # INTRA-program kernel serialization (rollout scan + GAE +
+            # minibatch machinery each 5-10x their compute/HBM floor),
+            # not host dispatch (scan-fused dispatch saves only ~1 ms)
             "bound": ("compute" if t_compute > t_hbm else "hbm")
-            if max(t_compute, t_hbm) > 0.5 * iter_s else "latency/dispatch",
+            if max(t_compute, t_hbm) > 0.5 * iter_s
+            else "serialization (intra-program; see bench_phases.json)",
             "hbm_bw_util_pct": round(100.0 * t_hbm / iter_s, 1),
         }
     return out
