@@ -167,6 +167,13 @@ def main(cfg: FidCfg):
         "  `benchmarks/diag_drone_trpol.py`. An env-dynamics defect is",
         "  ruled out; this is an algorithm-class x crash-termination",
         "  interaction (PPO escapes via clipped stochastic updates).",
+        "- **DroneCircle sacl/cvpo (0.40-0.55x) and cpo (0.76x)**: the",
+        "  round-4 hardened-controller re-runs regulate cleanly (best costs",
+        "  4-19 vs limit 25) and the curves are STILL RISING at the 300k",
+        "  off-policy cutoff (cvpo s2: 282 and climbing at 270k) — the",
+        "  reference's published plateau is at 4M steps, 13x this tier's",
+        "  budget. Budget-limited, not an algorithm defect; ddpgl at the",
+        "  same budget already reaches 1.7x after the hardening.",
         "- **AntRun cvpo/focops (~0.63x)**: reward-scale shortfall with the",
         "  constraint held; both families regulate cost correctly and the",
         "  per-task algorithm ordering is preserved (cvpo/focops also trail",
