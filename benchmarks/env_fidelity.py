@@ -174,10 +174,15 @@ def main(cfg: FidCfg):
         "  reference's published plateau is at 4M steps, 13x this tier's",
         "  budget. Budget-limited, not an algorithm defect; ddpgl at the",
         "  same budget already reaches 1.7x after the hardening.",
-        "- **AntRun cvpo/focops (~0.63x)**: reward-scale shortfall with the",
-        "  constraint held; both families regulate cost correctly and the",
-        "  per-task algorithm ordering is preserved (cvpo/focops also trail",
-        "  on-policy PPO on the reference's own AntRun curve).",
+        "- **AntRun ppol/focops/cpo/cvpo (0.4-0.7x at n=3)**: the 5M",
+        "  seed fills expose one-in-three stall seeds (ppol s2 best 49@8.8,",
+        "  focops s2 35@0 while sibling seeds reach 460+ feasible) — the",
+        "  same crash-early degenerate-feasible interaction diagnosed on",
+        "  DroneRun (`diag_drone_trpol.py`): Ant episodes terminate on",
+        "  falling, so 'fall fast' is the nearest feasible point in the",
+        "  early infeasible phase and some seeds never escape. trpol",
+        "  (1.08x, 711-713 on ALL seeds) and sacl (1.01x) show the env",
+        "  itself supports reference-scale feasible reward.",
     ]
     os.makedirs(os.path.dirname(cfg.out), exist_ok=True)
     with open(cfg.out, "w") as f:
