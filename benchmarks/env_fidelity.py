@@ -167,13 +167,13 @@ def main(cfg: FidCfg):
         "  `benchmarks/diag_drone_trpol.py`. An env-dynamics defect is",
         "  ruled out; this is an algorithm-class x crash-termination",
         "  interaction (PPO escapes via clipped stochastic updates).",
-        "- **DroneCircle sacl/cvpo (0.40-0.55x) and cpo (0.76x)**: the",
-        "  round-4 hardened-controller re-runs regulate cleanly (best costs",
-        "  4-19 vs limit 25) and the curves are STILL RISING at the 300k",
-        "  off-policy cutoff (cvpo s2: 282 and climbing at 270k) — the",
-        "  reference's published plateau is at 4M steps, 13x this tier's",
-        "  budget. Budget-limited, not an algorithm defect; ddpgl at the",
-        "  same budget already reaches 1.7x after the hardening.",
+        "- **DroneCircle (RESOLVED)**: the round-3 sub-0.8x off-policy rows",
+        "  were budget-limited (curves still rising at the 300k cutoff vs",
+        "  the reference's 4M plateau). Budget-matched round-4 re-runs",
+        "  under the hardened controller put ALL SEVEN algorithms at",
+        "  0.98-2.26x the reference on this task (cpo 4M: 836; cvpo/sacl",
+        "  1M: 996/940 vs plateaus 370-690), with best costs 3-22 vs",
+        "  limit 25.",
         "- **AntRun ppol/focops/cpo/cvpo (0.4-0.7x at n=3)**: the 5M",
         "  seed fills expose one-in-three stall seeds (ppol s2 best 49@8.8,",
         "  focops s2 35@0 while sibling seeds reach 460+ feasible) — the",
