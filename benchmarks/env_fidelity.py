@@ -155,18 +155,22 @@ def main(cfg: FidCfg):
         "",
         "## Diagnosed cells (committed analyses for sub-0.8x rows)",
         "",
-        "- **DroneRun trpol/cpo/ddpgl (0.22-0.44x)**: the trust-region /",
-        "  deterministic families converge to the degenerate feasible",
-        "  solution 'crash immediately' (final episode length ~48, cost 0,",
-        "  reward ~8): a dead drone pays no episodic cost, so under the",
-        "  early infeasible phase's wound-up multiplier the monotone",
-        "  natural-gradient step walks into that basin and never escapes.",
-        "  Unconstrained TRPO reaches 3526 on the same dynamics, target_kl",
-        "  sweeps don't move the stall, and cost-limit annealing escapes",
-        "  only transiently — full experiment record in",
-        "  `benchmarks/diag_drone_trpol.py`. An env-dynamics defect is",
-        "  ruled out; this is an algorithm-class x crash-termination",
-        "  interaction (PPO escapes via clipped stochastic updates).",
+        "- **DroneRun trust-region stall + sacl long-horizon bang-bang**:",
+        "  DroneRun's constrained landscape has a degenerate feasible point",
+        "  ('crash immediately': episode length ~20-48, cost 0, reward",
+        "  ~-11..8 — a dead drone pays no episodic cost), a reward-optimal",
+        "  INFEASIBLE basin (unconstrained TRPO: 3526 @ cost 473), and a",
+        "  narrow feasible flight ridge between them (ppol holds 688@6",
+        "  stably; ddpgl/cvpo reach ~580-726 feasible at 1M). trpol/cpo's",
+        "  monotone natural-gradient step walks into the crash basin and",
+        "  never escapes (target_kl sweeps flat, annealing escapes only",
+        "  transiently — `benchmarks/diag_drone_trpol.py`). sacl at 1M",
+        "  BANG-BANGS between the two basins (committed curves alternate",
+        "  3500@477 and -11@0 with no stable intermediate, all 3 seeds),",
+        "  so its largest-budget rows quote the crash point even though",
+        "  the 300k tier caught feasible flight (best 540@0) mid-",
+        "  transition: the analog's near-binary episodic cost (477 or 0)",
+        "  gives the Q-driven controller no gradient along the ridge.",
         "- **DroneCircle (RESOLVED)**: the round-3 sub-0.8x off-policy rows",
         "  were budget-limited (curves still rising at the 300k cutoff vs",
         "  the reference's 4M plateau). Budget-matched round-4 re-runs",
