@@ -54,8 +54,11 @@ def bench_onpolicy() -> dict:
     # beyond ~260k steps/iter the step is throughput-bound (time scales with
     # N*T; see the N/T sweep in docs/benchmark.md)
     N, T = 4096, 64
+    # n_minibatches=8: measured fastest of the reference-faithful schedules
+    # (repeat 4 fixed; 8 minibatches 17.8 ms vs 4 at 18.6, 32+ regress) —
+    # and the reference itself runs ~40 minibatches/epoch (batch 256)
     algo = PPOLag(env.observation_size, env.action_size, cost_limit=10.0,
-                  repeat=4, n_minibatches=4, compute_dtype=jnp.bfloat16)
+                  repeat=4, n_minibatches=8, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     state = algo.init(rng)
     env_state = env.reset_vec(rng, N)
