@@ -59,7 +59,8 @@ REFERENCE = {
 
 @dataclass
 class VelFidCfg:
-    results: str = ("benchmarks/results_velocity_5m,"
+    results: str = ("benchmarks/results_velocity_full,"
+                    "benchmarks/results_velocity_5m,"
                     "benchmarks/results_velocity")
     out: str = "docs/velocity_fidelity.md"
 
