@@ -292,8 +292,14 @@ class CVPO:
         eta = estep_dual[0]
         # realized-cost backstop: floor the critic-derived dual with the PID
         # multiplier (update_lagrangian docstring) — zero when feasible, so
-        # the E-step stays in control except under critic lag
-        lam = jnp.maximum(estep_dual[1:], state.lag.multiplier)
+        # the E-step stays in control except under critic lag. Unit caveat:
+        # the PID multiplier is trained on EPISODIC cost error while the
+        # E-step dual weights DISCOUNTED per-step Qc, so the floor is a
+        # heuristic pressure term, not an exchange of equivalent duals; it is
+        # therefore re-capped at estep_dual_max so sustained violation can
+        # never push the effective dual past the configured E-step cap.
+        lam = jnp.clip(jnp.maximum(estep_dual[1:], state.lag.multiplier),
+                       EPS, hp["estep_dual_max"])
         combined = q0 - jnp.einsum("m,bkm->bk", lam, qc)          # (B, Kp)
         optimal_q = jax.nn.softmax(combined / eta, axis=1)        # (B, Kp)
         optimal_q = jax.lax.stop_gradient(optimal_q)

@@ -22,7 +22,7 @@ from fsrl_tpu.algos.common import make_optimizer, soft_update
 from fsrl_tpu.algos.offpolicy_base import sample_nstep_batch
 from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from fsrl_tpu.nets.mlp import DeterministicActor, QCriticEnsemble
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_controller_step,
                                    rescaling_factor)
 
 Array = jax.Array
@@ -61,6 +61,7 @@ class DDPGLag:
         exploration_noise: float = 0.1,
         n_step: int = 3,
         use_lagrangian: bool = True,
+        pid_filter: bool = True,   # False = exact reference recurrence (ablation)
         lagrangian_pid=(0.5, 0.001, 0.1),   # reference DDPG default (ddpg_lag_agent.py:84)
         rescaling: bool = True,
         gamma: float = 0.99,
@@ -77,6 +78,7 @@ class DDPGLag:
         self.hp = dict(
             tau=tau, noise=exploration_noise, n_step=n_step,
             use_lagrangian=use_lagrangian, pid=tuple(lagrangian_pid),
+            pid_filter=pid_filter,
             rescaling=rescaling, gamma=gamma, batch_size=batch_size,
         )
         self.deterministic_eval = deterministic_eval
@@ -129,8 +131,9 @@ class DDPGLag:
             return state
         kp, ki, kd = self.hp["pid"]
         limit = self.cost_limit if cost_limit is None else cost_limit
-        lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes, limit,
-                                kp, ki, kd)
+        lag = pid_controller_step(state.lag, ep_cost_mean, n_episodes,
+                                  limit, kp, ki, kd,
+                                  filtered=self.hp["pid_filter"])
         return state.replace(lag=lag, last_ep_cost=lag.cost_ema)
 
     def update_step(self, state: DDPGLagState, buffer: ReplayBuffer,

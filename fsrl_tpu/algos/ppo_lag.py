@@ -27,7 +27,7 @@ from flax import struct
 from fsrl_tpu.algos.common import (OnPolicyBatch, make_optimizer, normalize_adv,
                                    process_rollout, select_tree)
 from fsrl_tpu.nets.mlp import GaussianActor, VCriticEnsemble
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_controller_step,
                                    rescaling_factor)
 from fsrl_tpu.types import Transition, minibatch_scan
 
@@ -69,6 +69,7 @@ class PPOLag:
         advantage_normalization: bool = True,
         reward_normalization: bool = False,
         use_lagrangian: bool = True,
+        pid_filter: bool = True,   # False = exact reference recurrence (ablation)
         lagrangian_pid=(0.05, 0.0005, 0.1),
         rescaling: bool = True,
         gamma: float = 0.99,
@@ -94,6 +95,7 @@ class PPOLag:
             value_clip=value_clip, norm_adv=advantage_normalization,
             rew_norm=reward_normalization,
             use_lagrangian=use_lagrangian, pid=tuple(lagrangian_pid),
+            pid_filter=pid_filter,
             rescaling=rescaling, gamma=gamma, repeat=repeat,
             n_minibatches=n_minibatches, episode_len=episode_len,
             dp_blocks=dp_blocks,
@@ -165,11 +167,16 @@ class PPOLag:
             # collects average ~20 episodes so the filter lag is ~2 collects,
             # and the symmetric integral removes the late-training lambda
             # ratchet observed on the dense-cost nav "2" tasks
-            lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes,
-                                    limit, kp, ki, kd, horizon=40.0)
+            lag = pid_controller_step(
+                state.lag, ep_cost_mean, n_episodes, limit, kp, ki, kd,
+                filtered=hp["pid_filter"], horizon=40.0)
         else:
             lag = state.lag
-        cost_in = lag.cost_ema
+        # last_ep_cost tracks the filtered measurement; with the Lagrangian
+        # disabled the filter never steps, so fall back to the raw collect
+        # measurement (holding the previous value on episode-free collects)
+        cost_in = lag.cost_ema if hp["use_lagrangian"] else jnp.where(
+            n_episodes > 0, ep_cost_mean, state.last_ep_cost)
 
         if hp["rew_norm"]:
             batch, ret_rms = process_rollout(

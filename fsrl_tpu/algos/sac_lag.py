@@ -29,7 +29,7 @@ from fsrl_tpu.algos.offpolicy_base import sample_nstep_batch
 from fsrl_tpu.data.buffer import ReplayBuffer, ReplayBufferState
 from fsrl_tpu.nets.mlp import GaussianActor, QCriticEnsemble
 from fsrl_tpu.nets.distributions import TanhGaussian
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_controller_step,
                                    rescaling_factor)
 
 Array = jax.Array
@@ -72,6 +72,8 @@ class SACLag:
         tau: float = 0.05,
         n_step: int = 2,
         use_lagrangian: bool = True,
+        pid_filter: bool = True,   # False = exact reference recurrence (ablation)
+        reference_qc: bool = False,  # True = reference min-head/entropy-everywhere Qc (ablation)
         lagrangian_pid=(0.05, 0.0005, 0.1),
         rescaling: bool = True,
         gamma: float = 0.99,
@@ -87,7 +89,8 @@ class SACLag:
         self.cost_limit = jnp.asarray(cl, jnp.float32)
         self.hp = dict(
             tau=tau, n_step=n_step, use_lagrangian=use_lagrangian,
-            pid=tuple(lagrangian_pid), rescaling=rescaling, gamma=gamma,
+            pid=tuple(lagrangian_pid), pid_filter=pid_filter,
+            reference_qc=reference_qc, rescaling=rescaling, gamma=gamma,
             batch_size=batch_size, auto_alpha=auto_alpha,
             target_entropy=-float(act_dim),
         )
@@ -155,8 +158,9 @@ class SACLag:
             return state
         kp, ki, kd = self.hp["pid"]
         limit = self.cost_limit if cost_limit is None else cost_limit
-        lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes, limit,
-                                kp, ki, kd)
+        lag = pid_controller_step(state.lag, ep_cost_mean, n_episodes,
+                                  limit, kp, ki, kd,
+                                  filtered=self.hp["pid_filter"])
         return state.replace(lag=lag, last_ep_cost=lag.cost_ema)
 
     def update_step(self, state: SACLagState, buffer: ReplayBuffer,
@@ -176,9 +180,12 @@ class SACLag:
             # heads — the actor seeks LOW cost, so the maximization-bias
             # argument flips and min-head cost bootstrap underestimates
             # exactly where the actor exploits it (see diag_cvpo.py)
-            head_mask = (jnp.arange(self.K) == 0)
-            minq = jnp.where(head_mask[None, :], jnp.min(q, axis=-1),
-                             jnp.max(q, axis=-1))               # (B, K)
+            if hp["reference_qc"]:          # reference-parity ablation:
+                minq = jnp.min(q, axis=-1)  # min-head for every metric
+            else:
+                head_mask = (jnp.arange(self.K) == 0)
+                minq = jnp.where(head_mask[None, :], jnp.min(q, axis=-1),
+                                 jnp.max(q, axis=-1))           # (B, K)
             # Entropy bonus only in the REWARD critic's target. The reference
             # subtracts alpha*logp from every critic (sac_lag.py:136-145),
             # which makes the cost critics estimate cost-to-go MINUS
@@ -186,6 +193,8 @@ class SACLag:
             # starts-infeasible task produces, lambda*Qc then optimizes
             # entropy instead of the constraint. Deliberate deviation: cost
             # critics estimate pure cost-to-go.
+            if hp["reference_qc"]:   # alpha*logp in every head (sac_lag.py:136-145)
+                return minq - alpha * logp[:, None]
             ent_mask = (jnp.arange(self.K) == 0).astype(minq.dtype)
             return minq - alpha * logp[:, None] * ent_mask
 
@@ -198,8 +207,9 @@ class SACLag:
         # negative. Unclamped, the actor's argmin of lambda*Qc exploits
         # negative-extrapolation regions and drives a self-reinforcing
         # spiral (diag_sacl.py observed Qc down to -122 mid-collapse).
-        rets = jnp.concatenate(
-            [rets[:, :1], jnp.maximum(rets[:, 1:], 0.0)], axis=1)
+        if not hp["reference_qc"]:
+            rets = jnp.concatenate(
+                [rets[:, :1], jnp.maximum(rets[:, 1:], 0.0)], axis=1)
 
         # ---- critics (both heads vs same target) ----
         def closs(cp):
@@ -221,14 +231,18 @@ class SACLag:
             dist = self._dist(ap, batch.obs)
             a, logp = dist.sample_and_log_prob(rng_a)
             q_all = self.critics.apply(critics_new, batch.obs, a)  # (B, K, 2)
-            head_mask = (jnp.arange(self.K) == 0)
-            q = jnp.where(head_mask[None, :], jnp.min(q_all, axis=-1),
-                          jnp.max(q_all, axis=-1))               # (B, K)
+            if hp["reference_qc"]:
+                q = jnp.min(q_all, axis=-1)                      # (B, K)
+                qc_pen = q[:, 1:]
+            else:
+                head_mask = (jnp.arange(self.K) == 0)
+                q = jnp.where(head_mask[None, :], jnp.min(q_all, axis=-1),
+                              jnp.max(q_all, axis=-1))           # (B, K)
+                # relu: a (transient) negative cost-Q is estimation artifact
+                # — zero gradient there beats actively attracting the actor
+                qc_pen = jax.nn.relu(q[:, 1:])
             loss_rew = jnp.mean(alpha * logp - q[:, 0])
-            # relu: a (transient) negative cost-Q is estimation artifact —
-            # zero gradient there beats actively attracting the actor to it
-            loss_safety = jnp.sum(
-                lam_mult * jnp.mean(jax.nn.relu(q[:, 1:]), axis=0)) \
+            loss_safety = jnp.sum(lam_mult * jnp.mean(qc_pen, axis=0)) \
                 if hp["use_lagrangian"] else 0.0
             return resc * (loss_rew + loss_safety), (loss_rew, logp)
 

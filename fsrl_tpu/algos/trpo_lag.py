@@ -31,7 +31,7 @@ from fsrl_tpu.algos.common import (make_optimizer, normalize_adv,
                                    process_rollout)
 from fsrl_tpu.nets.mlp import GaussianActor, VCriticEnsemble
 from fsrl_tpu.ops.cg import conjugate_gradient
-from fsrl_tpu.ops.lagrange import (PIDLagrangianState, filtered_pid_step,
+from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_controller_step,
                                    rescaling_factor)
 from fsrl_tpu.types import Transition
 
@@ -71,6 +71,7 @@ class TRPOLag:
         gae_lambda: float = 0.95,
         advantage_normalization: bool = True,
         use_lagrangian: bool = True,
+        pid_filter: bool = True,   # False = exact reference recurrence (ablation)
         lagrangian_pid=(0.05, 0.0005, 0.1),
         rescaling: bool = True,
         gamma: float = 0.99,
@@ -95,6 +96,7 @@ class TRPOLag:
             max_backtracks=max_backtracks, optim_critic_iters=optim_critic_iters,
             gae_lambda=gae_lambda, norm_adv=advantage_normalization,
             use_lagrangian=use_lagrangian, pid=tuple(lagrangian_pid),
+            pid_filter=pid_filter,
             rescaling=rescaling, gamma=gamma, cg_iters=cg_iters, damping=damping,
             repeat=repeat,
         )
@@ -215,11 +217,15 @@ class TRPOLag:
             # collects average ~20 episodes so the filter lag is ~2 collects,
             # and the symmetric integral removes the late-training lambda
             # ratchet observed on the dense-cost nav "2" tasks
-            lag = filtered_pid_step(state.lag, ep_cost_mean, n_episodes,
-                                    limit, kp, ki, kd, horizon=40.0)
+            lag = pid_controller_step(
+                state.lag, ep_cost_mean, n_episodes, limit, kp, ki, kd,
+                filtered=hp["pid_filter"], horizon=40.0)
         else:
             lag = state.lag
-        cost_in = lag.cost_ema
+        # raw-measurement fallback when the Lagrangian (and so the filter)
+        # is disabled; holds the previous value on episode-free collects
+        cost_in = lag.cost_ema if hp["use_lagrangian"] else jnp.where(
+            n_episodes > 0, ep_cost_mean, state.last_ep_cost)
         lam_mult = lag.multiplier
         resc = rescaling_factor(lam_mult, hp["rescaling"]) if hp["use_lagrangian"] \
             else jnp.ones(())

@@ -303,21 +303,65 @@ def mujoco_20m(cfg):
     return preset(cfg, 20_000_000, 25.0)
 
 
-# Per-task preset registry (reference TASK_TO_CFG, train_ppol_agent.py:29-62)
+# Per-task preset registry — the full 30-name reference TASK_TO_CFG map
+# (train_ppol_agent.py:29-62), with our task ids. `None` = the algorithm's
+# default TrainCfg budget (2M Bullet), exactly the reference's TrainCfg rows.
 TASK_TO_PRESET = {
+    # Bullet-Safety-Gym
+    "SafetyCarRun-v0": bullet_1m,
     "SafetyBallRun-v0": bullet_1m,
     "SafetyBallCircle-v0": bullet_1m,
-    "SafetyCarRun-v0": bullet_1m,
-    "SafetyCarCircle-v0": None,          # default 2M budget
-    "SafetyDroneRun-v0": bullet_5m,
+    "SafetyBallCircle2C-v0": bullet_1m,   # our 2-constraint demo variant
+    "SafetyCarCircle-v0": None,
+    "SafetyDroneRun-v0": None,
+    "SafetyAntRun-v0": None,
     "SafetyDroneCircle-v0": bullet_5m,
-    "SafetyAntRun-v0": bullet_5m,
     "SafetyAntCircle-v0": bullet_10m,
+    # Safety-Gymnasium navigation (our JAX analogs + raw-MuJoCo PointGoal)
+    "SafetyPointCircle1-v0": mujoco_2m,
+    "SafetyPointCircle2-v0": mujoco_2m,
+    "SafetyCarCircle1-v0": mujoco_2m,
+    "SafetyCarCircle2-v0": mujoco_2m,
+    "SafetyPointGoal1-v0": mujoco_base,
+    "SafetyPointGoal2-v0": mujoco_base,
+    "SafetyPointButton1-v0": mujoco_base,
+    "SafetyPointButton2-v0": mujoco_base,
+    "SafetyPointPush1-v0": mujoco_base,
+    "SafetyPointPush2-v0": mujoco_base,
+    "SafetyCarGoal1-v0": mujoco_base,
+    "SafetyCarGoal2-v0": mujoco_base,
+    "SafetyCarButton1-v0": mujoco_base,
+    "SafetyCarButton2-v0": mujoco_base,
+    "SafetyCarPush1-v0": mujoco_base,
+    "SafetyCarPush2-v0": mujoco_base,
+    # Safety-Gymnasium velocity (real MuJoCo via the host path)
+    "SafetyHalfCheetahVelocity-v1": mujoco_base,
+    "SafetyHopperVelocity-v1": mujoco_base,
+    "SafetySwimmerVelocity-v1": mujoco_base,
+    "SafetyWalker2dVelocity-v1": mujoco_10m,
+    "SafetyAntVelocity-v1": mujoco_10m,
+    "SafetyHumanoidVelocity-v1": mujoco_20m,
 }
+
+# Reference task ids -> ours, so configs written for the reference resolve
+# (reference nav names carry a "Gymnasium" infix; velocity likewise).
+TASK_ALIASES = {
+    f"Safety{robot}{task}{lvl}Gymnasium-v0":
+        f"Safety{robot}{task}{lvl}-v0"
+    for robot in ("Point", "Car") for task in ("Circle", "Goal", "Button", "Push")
+    for lvl in (1, 2)
+}
+TASK_ALIASES.update({
+    f"Safety{b}VelocityGymnasium-v1": f"Safety{b}Velocity-v1"
+    for b in ("HalfCheetah", "Hopper", "Swimmer", "Walker2d", "Ant",
+              "Humanoid")
+})
 
 
 def apply_task_preset(cfg):
     """Apply the task's registered suite preset to cfg in place — the
-    reference's ``TASK_TO_CFG`` dispatch (``train_ppol_agent.py:29-62``)."""
+    reference's ``TASK_TO_CFG`` dispatch (``train_ppol_agent.py:29-62``).
+    Reference-style task ids (``*Gymnasium-v*``) are translated first."""
+    cfg.task = TASK_ALIASES.get(cfg.task, cfg.task)
     fn = TASK_TO_PRESET.get(cfg.task)
     return fn(cfg) if fn else cfg

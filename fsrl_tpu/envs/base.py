@@ -137,6 +137,10 @@ def make(name: str, **kwargs) -> SafeEnv:
         # import side-effect registration
         import fsrl_tpu.envs  # noqa: F401
     if name not in _REGISTRY:
+        # accept reference-style ids ("SafetyPointGoal1Gymnasium-v0")
+        from fsrl_tpu.config.configs import TASK_ALIASES
+        name = TASK_ALIASES.get(name, name)
+    if name not in _REGISTRY:
         raise KeyError(f"Unknown task '{name}'. Known: {sorted(_REGISTRY)}")
     return _REGISTRY[name](**kwargs)
 

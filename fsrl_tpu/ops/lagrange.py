@@ -108,8 +108,12 @@ def filtered_pid_step(
 
     error_new = cost_f - cost_limits
     error_diff = relu(error_new - state.error_old)
-    # symmetric integral accumulation (anti-ratchet): |e| capped at the limit
-    e_int = jnp.clip(error_new, -cost_limits, cost_limits)
+    # symmetric integral accumulation (anti-ratchet): |e| capped at the
+    # limit, floored at 1.0 so strict-safety configs (cost_limit=0, a legal
+    # setting the reference recurrence handles) retain integral authority
+    # instead of freezing I via clip to [0, 0]
+    cap = jnp.maximum(cost_limits, 1.0)
+    e_int = jnp.clip(error_new, -cap, cap)
     error_integral = relu(state.error_integral + e_int)
     multiplier = relu(kp * error_new + ki * error_integral + kd * error_diff)
 
@@ -117,6 +121,33 @@ def filtered_pid_step(
         error_old=error_new, error_integral=error_integral,
         multiplier=multiplier, cost_ema=cost_f, ema_n=ema_n,
     )
+    return jax.tree.map(
+        lambda new, old: jnp.where(n_episodes > 0, new, old), stepped, state)
+
+
+def pid_controller_step(
+    state: PIDLagrangianState,
+    cost_values: Array,
+    n_episodes: Array,
+    cost_limits: Array,
+    kp: float,
+    ki: float,
+    kd: float,
+    *,
+    filtered: bool = True,
+    horizon: float = 10.0,
+) -> PIDLagrangianState:
+    """Controller dispatch: the hardened ``filtered_pid_step`` (default) or
+    the exact reference recurrence (``pid_step``) for reference-parity
+    ablations (selected by each algorithm's ``pid_filter`` flag). Both paths
+    hold state on episode-free collects; the exact path tracks the raw
+    measurement in ``cost_ema`` so downstream ``last_ep_cost`` logging stays
+    meaningful."""
+    if filtered:
+        return filtered_pid_step(state, cost_values, n_episodes, cost_limits,
+                                 kp, ki, kd, horizon=horizon)
+    stepped = pid_step(state, cost_values, cost_limits, kp, ki, kd)
+    stepped = stepped.replace(cost_ema=cost_values)
     return jax.tree.map(
         lambda new, old: jnp.where(n_episodes > 0, new, old), stepped, state)
 

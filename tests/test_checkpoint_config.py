@@ -143,3 +143,41 @@ def test_runtime_cost_limit_override():
             # infeasible under the tight limit (case<=1), feasible under loose
             assert float(outs[0.001][1]["loss/optim_C"]) > 0
             assert float(outs[10000.0][1]["loss/optim_C"]) < 0
+
+
+def test_checkpoint_migration_fills_missing_fields(tmp_path):
+    """Checkpoints written before a TrainState grew fields (e.g. round-3
+    predates PIDLagrangianState.cost_ema/ema_n) restore with the new fields
+    zero-filled from the target (ADVICE r4 migration shim)."""
+    from flax.serialization import to_state_dict
+    import orbax.checkpoint as ocp
+
+    algo = PPOLag(5, 2, cost_limit=10.0)
+    state = algo.init(jax.random.PRNGKey(0))
+    state = state.replace(lag=state.lag.replace(multiplier=jnp.array([3.5])))
+    # simulate an old-structure checkpoint: drop the new filter fields
+    sd = to_state_dict(jax.device_get(state))
+    del sd["lag"]["cost_ema"], sd["lag"]["ema_n"]
+    path = os.path.join(tmp_path, "old_ck")
+    ocp.PyTreeCheckpointer().save(path, sd, force=True)
+
+    restored = load_checkpoint(path, algo.init(jax.random.PRNGKey(1)))
+    assert float(restored.lag.multiplier[0]) == 3.5
+    np.testing.assert_array_equal(np.asarray(restored.lag.cost_ema),
+                                  np.zeros(1))
+
+
+def test_task_registry_covers_every_shipped_task():
+    """Every registered env id (plus the velocity suite) has a preset row —
+    the reference's 30-name TASK_TO_CFG (train_ppol_agent.py:29-62)."""
+    from fsrl_tpu.config.configs import TASK_ALIASES, TASK_TO_PRESET
+    from fsrl_tpu.envs import registered_tasks
+    from fsrl_tpu.envs.velocity import VELOCITY_LIMITS
+    for t in list(registered_tasks()) + list(VELOCITY_LIMITS):
+        assert t in TASK_TO_PRESET, f"no preset row for shipped task {t}"
+    assert len(TASK_TO_PRESET) >= 30
+    # reference-style ids resolve through the alias table
+    cfg = apply_task_preset(PPOLagCfg(task="SafetyAntVelocityGymnasium-v1"))
+    assert cfg.task == "SafetyAntVelocity-v1"
+    assert cfg.epochs * cfg.step_per_epoch == 10_000_000
+    assert "SafetyHumanoidVelocityGymnasium-v1" in TASK_ALIASES

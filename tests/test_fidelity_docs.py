@@ -51,7 +51,14 @@ def test_readme_headline_matches_latest_bench():
     bench = json.loads(m.group(0))
     headline_m = bench["value"] / 1e6
     readme = open(os.path.join(REPO, "README.md")).read()
-    want = f"~{headline_m:.1f}M env-steps/s"
-    assert want in readme, (
-        f"README headline is stale: expected '{want}' from "
-        f"{os.path.basename(benches[-1])}")
+    got = re.search(r"\*\*~([\d.]+)M env-steps/s\*\*", readme)
+    assert got, "README has no '**~N.NM env-steps/s**' headline"
+    quoted = float(got.group(1))
+    # tolerance-based: the driver records BENCH_r{N}.json AFTER the round's
+    # last commit, so an exact-match gate is stale by construction whenever
+    # run-to-run jitter moves the number. 5% is far above jitter observed
+    # across r01-r04; regenerate with tools/update_readme_headline.py.
+    assert abs(quoted - headline_m) <= 0.05 * headline_m, (
+        f"README headline ~{quoted}M is stale vs {headline_m:.1f}M from "
+        f"{os.path.basename(benches[-1])} — run "
+        "tools/update_readme_headline.py")

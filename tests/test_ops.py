@@ -382,3 +382,37 @@ def test_filtered_pid_sustained_violation_grows_unbounded():
     assert float(st.multiplier[0]) > lam_prev
     assert float(st.error_integral[0]) == pytest.approx(
         50 * 25.0, rel=0.05)  # ~+limit per step once EMA converges
+
+
+def test_pid_controller_step_exact_path_matches_reference():
+    """`pid_controller_step(filtered=False)` is the exact reference
+    recurrence (ADVICE r4: the reference behavior must stay reachable for
+    parity ablations), gated on fresh episodes and tracking the raw
+    measurement in cost_ema."""
+    from fsrl_tpu.ops.lagrange import pid_controller_step, pid_step
+    limits = jnp.array([25.0])
+    st = PIDLagrangianState.init(1)
+    ref = pid_step(st, jnp.array([40.0]), limits, 0.05, 0.0005, 0.1)
+    got = pid_controller_step(st, jnp.array([40.0]), jnp.asarray(3), limits,
+                              0.05, 0.0005, 0.1, filtered=False)
+    for f in ("error_old", "error_integral", "multiplier"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(got, f)))
+    assert float(got.cost_ema[0]) == 40.0
+    held = pid_controller_step(got, jnp.array([999.0]), jnp.asarray(0),
+                               limits, 0.05, 0.0005, 0.1, filtered=False)
+    np.testing.assert_allclose(np.asarray(held.multiplier),
+                               np.asarray(got.multiplier))
+
+
+def test_filtered_pid_strict_safety_keeps_integral_authority():
+    """cost_limit=0 (strict safety, a legal config) must still accumulate
+    integral error — the anti-windup cap is floored at 1.0 (ADVICE r4:
+    clip to [0,0] froze I and left only kp/kd authority)."""
+    limits = jnp.array([0.0])
+    st = PIDLagrangianState.init(1)
+    for _ in range(5):
+        st = filtered_pid_step(st, jnp.array([3.0]), jnp.asarray(3),
+                               limits, 0.0, 0.01, 0.0)
+    assert float(st.error_integral[0]) == pytest.approx(5.0)  # +1/step floor
+    assert float(st.multiplier[0]) > 0.0
