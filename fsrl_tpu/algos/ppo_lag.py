@@ -26,10 +26,11 @@ from flax import struct
 
 from fsrl_tpu.algos.common import (OnPolicyBatch, make_optimizer, normalize_adv,
                                    process_rollout, select_tree)
-from fsrl_tpu.nets.mlp import GaussianActor, VCriticEnsemble
+from fsrl_tpu.nets.mlp import (GaussianActor, VCriticEnsemble,
+                               fused_pi_v_apply)
 from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_controller_step,
                                    rescaling_factor)
-from fsrl_tpu.types import Transition, minibatch_scan
+from fsrl_tpu.types import Transition, minibatch_epochs_scan
 
 Array = jax.Array
 
@@ -109,6 +110,11 @@ class PPOLag:
         )
         self.critics = VCriticEnsemble(num_critics=self.K, hidden_sizes=hidden_sizes,
                                        compute_dtype=compute_dtype)
+        self.compute_dtype = compute_dtype
+        # stacked actor+critic matmul chain in the update loss (identical
+        # math, ~half the HBM-roundtripping ops per grad step); only the
+        # standard PPO net recipe qualifies
+        self.fused_forward = len(tuple(hidden_sizes)) == 2
         self.tx = make_optimizer(lr, max_grad_norm)
 
     # ---------------- init ----------------
@@ -197,7 +203,15 @@ class PPOLag:
             else jnp.ones(())
 
         def loss_fn(params, mb: OnPolicyBatch):
-            dist = self.actor.apply(params["actor"], mb.obs)
+            if self.fused_forward:
+                dist, values = fused_pi_v_apply(
+                    params, mb.obs, act_dim=self.act_dim, num_critics=self.K,
+                    max_action=self.actor.max_action,
+                    unbounded=self.actor.unbounded,
+                    compute_dtype=self.compute_dtype)
+            else:
+                dist = self.actor.apply(params["actor"], mb.obs)
+                values = self.critics.apply(params["critics"], mb.obs)
             log_p = dist.log_prob(mb.act)
             ratio = jnp.exp(log_p - mb.logp_old)
             adv = normalize_adv(mb.adv) if hp["norm_adv"] else mb.adv
@@ -219,7 +233,6 @@ class PPOLag:
                 loss_safety = 0.0
             loss_actor = resc * (loss_rew + loss_safety)
 
-            values = self.critics.apply(params["critics"], mb.obs)  # (B, K)
             if hp["value_clip"]:
                 v_clip = mb.value_old + jnp.clip(
                     values - mb.value_old, -hp["eps_clip"], hp["eps_clip"])
@@ -239,32 +252,35 @@ class PPOLag:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        def mb_body(carry, mb):
-            params, opt_state, stopped, gsteps = carry
+        n_mb = hp["n_minibatches"]
+
+        def mb_body(carry, mb, is_end):
+            params, opt_state, stopped, gsteps, kl_acc = carry
             (loss, aux), grads = grad_fn(params, mb)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             params = select_tree(stopped, params, new_params)
             opt_state = select_tree(stopped, opt_state, new_opt)
             gsteps = gsteps + jnp.where(stopped, 0, 1)
+            # KL early stop at 1.5*target_kl, evaluated on the epoch's mean
+            # KL at each epoch boundary (reference ppo_lag.py:249-255)
+            kl_acc = kl_acc + aux["kl"]
+            stopped = jnp.where(
+                is_end,
+                jnp.logical_or(stopped, kl_acc / n_mb > 1.5 * hp["target_kl"]),
+                stopped)
+            kl_acc = jnp.where(is_end, 0.0, kl_acc)
             aux["loss_total"] = loss
-            return (params, opt_state, stopped, gsteps), aux
+            return (params, opt_state, stopped, gsteps, kl_acc), aux
 
-        def epoch_body(carry, key):
-            params, opt_state, stopped, gsteps = carry
-            (params, opt_state, stopped, gsteps), auxes = minibatch_scan(
-                key, batch, hp["n_minibatches"], mb_body,
-                (params, opt_state, stopped, gsteps),
-                n_blocks=hp["dp_blocks"],
-            )
-            kl_mean = jnp.mean(auxes["kl"])
-            stopped = jnp.logical_or(stopped, kl_mean > 1.5 * hp["target_kl"])
-            return (params, opt_state, stopped, gsteps), auxes
-
-        keys = jax.random.split(rng, hp["repeat"])
-        (params, opt_state, stopped, gsteps), auxes = jax.lax.scan(
-            epoch_body, (state.params, state.opt_state, jnp.zeros((), bool),
-                         state.gradient_steps), keys,
+        # one flat scan over repeat*n_minibatches grad steps: the shuffle is
+        # packed once and gathered for all epochs in one batched op, and one
+        # epoch's worth of bodies is unrolled (bench_update_breakdown.py)
+        (params, opt_state, stopped, gsteps, _), auxes = minibatch_epochs_scan(
+            rng, batch, hp["repeat"], n_mb, mb_body,
+            (state.params, state.opt_state, jnp.zeros((), bool),
+             state.gradient_steps, jnp.zeros(())),
+            n_blocks=hp["dp_blocks"], unroll=n_mb,
         )
 
         metrics = {("loss/" + k if not k.startswith("loss") else

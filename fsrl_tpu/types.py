@@ -302,3 +302,106 @@ def minibatch_scan(
         return body(carry, unpack(mb_packed))
 
     return jax.lax.scan(body2, carry_init, gathered)
+
+
+def minibatch_epochs_scan(
+    rng: Array,
+    batch: PyTree,
+    n_epochs: int,
+    n_minibatches: int,
+    body: Callable,
+    carry_init: PyTree,
+    tile_size: int | None = None,
+    n_blocks: int = 1,
+    unroll: int = 1,
+):
+    """Multi-epoch variant of :func:`minibatch_scan`: pack ONCE, draw all
+    ``n_epochs`` per-block tile permutations up front, gather them in one
+    batched ``take_along_axis``, and run a single flat scan over
+    ``n_epochs * n_minibatches`` grad steps.
+
+    Rationale (v5e, ``benchmarks/bench_update_breakdown.py``): the per-epoch
+    pack+gather of ``minibatch_scan`` costs ~2.1 ms at B=262k — as much as
+    the epoch's 8 grad steps together — and an epoch-per-scan structure pays
+    it ``n_epochs`` times. Packing once and batching the gathers pays it
+    ~once. The flat scan also takes ``unroll`` (epochs' bodies are identical,
+    so unrolling by ``n_minibatches`` amortizes loop overhead without code
+    growth beyond one epoch).
+
+    ``body(carry, mb, is_epoch_end) -> (carry, aux)`` — the extra flag marks
+    each epoch's last minibatch so epoch-granular logic (the reference's KL
+    early stop, ``ppo_lag.py:249-255``) lives in the caller's body.
+
+    Shuffle semantics are identical to :func:`minibatch_scan` (block-local
+    tile permutations, re-randomized excluded tail), with one difference:
+    the random tail offset in the non-divisible case is drawn once for all
+    epochs rather than per epoch.
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(batch)
+    size = leaves[0].shape[0]
+    assert size % n_blocks == 0, (size, n_blocks)
+    rows_pb = size // n_blocks
+    if tile_size is None:
+        tile_size = max(1, size // 4096)
+    tpb = rows_pb // tile_size
+    usable_pb = (tpb // n_minibatches) * n_minibatches
+    tiles_per_mb_pb = usable_pb // n_minibatches
+    assert usable_pb > 0, (
+        f"minibatch_epochs_scan: {rows_pb} rows/block cannot fill "
+        f"{n_minibatches} minibatches of tile {tile_size}")
+
+    rng, k_perm, k_roll = jax.random.split(rng, 3)
+    if rows_pb % tile_size != 0:
+        off = jax.random.randint(k_roll, (), 0, size)
+        batch = jax.tree.map(lambda x: jnp.roll(x, off, axis=0), batch)
+        leaves = jax.tree.leaves(batch)
+
+    # (n_epochs, n_blocks, usable_pb) independent per-block permutations
+    keys = jax.random.split(k_perm, n_epochs * n_blocks).reshape(
+        n_epochs, n_blocks, -1)
+    perms = jax.vmap(jax.vmap(
+        lambda k: jax.random.permutation(k, tpb)[: usable_pb]))(keys)
+
+    # pack leaves (grouped by dtype) once: (n_blocks, tpb, tile*Dsum)
+    trailing = [x.shape[1:] for x in leaves]
+    flat = [x.reshape(n_blocks, rows_pb, -1)[:, : tpb * tile_size]
+            .reshape(n_blocks, tpb, -1) for x in leaves]
+    groups: dict = {}
+    for i, f in enumerate(flat):
+        groups.setdefault(f.dtype, []).append(i)
+    widths = [f.shape[2] for f in flat]
+
+    n_steps = n_epochs * n_minibatches
+    gathered: dict = {}
+    for dt, idxs in groups.items():
+        packed = flat[idxs[0]] if len(idxs) == 1 else jnp.concatenate(
+            [flat[i] for i in idxs], axis=2)
+        # one gather for ALL epochs: (n_epochs, n_blocks, usable_pb, W)
+        shuf = jax.vmap(
+            lambda pr, _p=packed: jnp.take_along_axis(
+                _p, pr[:, :, None], axis=1))(perms)
+        gathered[dt] = shuf.reshape(
+            n_epochs, n_blocks, n_minibatches, tiles_per_mb_pb, -1
+        ).swapaxes(1, 2).reshape(
+            n_steps, n_blocks, tiles_per_mb_pb, -1)
+
+    is_end = (jnp.arange(n_steps) + 1) % n_minibatches == 0
+
+    def unpack(mb_packed):
+        out = [None] * len(leaves)
+        mb_rows = n_blocks * tiles_per_mb_pb * tile_size
+        for dt, idxs in groups.items():
+            g = mb_packed[dt]
+            offs = np.cumsum([0] + [widths[i] for i in idxs])
+            for j, i in enumerate(idxs):
+                col = g[:, :, offs[j]:offs[j + 1]]
+                out[i] = col.reshape((mb_rows,) + trailing[i])
+        return jax.tree.unflatten(treedef, out)
+
+    def body2(carry, x):
+        mb_packed, end = x
+        return body(carry, unpack(mb_packed), end)
+
+    return jax.lax.scan(body2, carry_init, (gathered, is_end), unroll=unroll)
