@@ -63,7 +63,9 @@ def bench_onpolicy() -> dict:
     state = algo.init(rng)
     env_state = env.reset_vec(rng, N)
     stats = EpisodeStats.init(N, env.num_costs)
-    rollout = make_rollout_fn(env, algo.act_fn, T)
+    # unroll=4: replicating the env-step body amortizes while-loop overhead
+    # (1.44 -> 0.96 ms rollout at T=64, bench_phases.json r5)
+    rollout = make_rollout_fn(env, algo.act_fn, T, unroll=4)
 
     @jax.jit
     def train_iter(state, env_state, stats, rng):

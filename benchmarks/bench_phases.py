@@ -1,21 +1,16 @@
 """Phase attribution for the fused PPO-Lag training iteration.
 
-Round-3 verdict #6: the roofline labels the fused step "latency/dispatch"
-bound (HBM floor 2.39 ms vs 19.21 ms measured), but the 8-iter scan-fused
-dispatch — which removes host dispatch entirely — only saved ~1 ms, so
-~16 ms/iter is INTRA-program serialization and was unattributed.
-
-jax.profiler traces are unreliable through the tunneled TPU, so this uses
-differential timing of sub-programs compiled from the same building blocks:
-
-    t_noop      dispatch + sync floor (trivial jitted program)
-    t_rollout   rollout scan only (T sequential vmapped env+policy steps)
-    t_update    update only (GAE + minibatch epochs) on a captured segment
-    t_full      the full fused iteration
-
-plus a rollout `unroll` sweep (lax.scan unroll replicates the step body in
-the compiled loop, amortizing per-iteration loop overhead) and an (N, T)
-shape sweep at constant N*T.
+METHODOLOGY (round-5 correction): all timings use K-scan differencing with
+CHAINED state — time jit(scan(body, K))(c) with c = f(c) between calls, and
+report (t(K_hi) - t(1)) / (K_hi - 1) as the per-iteration device time.
+Identical-args repetition through the tunneled TPU reads FALSELY LOW (a
+chain of 64 dependent 32k x 128 x 128 gemms "measured" 0.022 ms = 3000
+TFLOP/s — impossible; the tunnel appears to dedupe repeat executions of the
+same (executable, args) pair). Round-4's bench_phases.json component
+numbers (e.g. rollout 0.15 ms) are contaminated by this; the honest rollout
+cost is ~1.3 ms at (4096, 64). jax.profiler traces DO work through the
+tunnel and corroborate the scan-differenced numbers
+(``benchmarks/bench_update_breakdown.json``).
 
 Usage:  python benchmarks/bench_phases.py            # on the TPU
         JAX_PLATFORMS=cpu python benchmarks/bench_phases.py --small 1
@@ -37,19 +32,25 @@ from fsrl_tpu.config.cli import cli
 class PhaseCfg:
     N: int = 4096
     T: int = 64
-    iters: int = 10
+    iters: int = 8
+    K: int = 8              # scan length for differencing
     small: int = 0          # CPU smoke mode
     out: str = "benchmarks/bench_phases.json"
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def scan_diff_time(make_body, carry0, K, iters, leaf):
+    """Device ms/iteration via chained K-scan differencing."""
+    def timed(KK):
+        f = jax.jit(lambda c: jax.lax.scan(make_body, c, None, length=KK)[0])
+        c = f(carry0)
+        jax.block_until_ready(leaf(c))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = f(c)
+        jax.block_until_ready(leaf(c))
+        return (time.perf_counter() - t0) / iters * 1e3
+    t1, tK = timed(1), timed(K)
+    return (tK - t1) / (K - 1), t1
 
 
 @cli(PhaseCfg)
@@ -60,80 +61,71 @@ def main(cfg: PhaseCfg):
     from fsrl_tpu.types import EpisodeStats
 
     if cfg.small:
-        cfg.N, cfg.T, cfg.iters = 256, 16, 3
+        cfg.N, cfg.T, cfg.iters, cfg.K = 256, 16, 2, 3
     env = make("SafetyCarCircle-v0")
     algo = PPOLag(env.observation_size, env.action_size, cost_limit=10.0,
-                  repeat=4, n_minibatches=4, compute_dtype=jnp.bfloat16)
+                  repeat=4, n_minibatches=8, compute_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     state = algo.init(rng)
-    res = {"N": cfg.N, "T": cfg.T}
-
-    # --- dispatch floor ---
-    x = jnp.zeros((8, 8))
-    noop = jax.jit(lambda a: a + 1.0)
-    res["t_noop_ms"] = timeit(noop, x, iters=cfg.iters * 3) * 1e3
-
-    # --- rollout only, unroll sweep ---
     env_state = env.reset_vec(rng, cfg.N)
     stats = EpisodeStats.init(cfg.N, env.num_costs)
-    for unroll in (1, 2, 4, 8):
-        ro = make_rollout_fn(env, algo.act_fn, cfg.T, unroll=unroll)
-        f = jax.jit(lambda p, e, s, r, _ro=ro: _ro(p, e, s, r).transitions.reward)
-        t = timeit(f, state.params, env_state, stats, rng, iters=cfg.iters)
-        res[f"t_rollout_unroll{unroll}_ms"] = t * 1e3
+    res = {"N": cfg.N, "T": cfg.T,
+           "methodology": "chained K-scan differencing (see module doc)"}
 
-    # --- update only (on a captured segment) ---
-    ro = make_rollout_fn(env, algo.act_fn, cfg.T)
-    seg = jax.jit(lambda p, e, s, r: ro(p, e, s, r))(
-        state.params, env_state, stats, rng)
-    jax.block_until_ready(seg.transitions.obs)
-
-    upd = jax.jit(lambda st, tr, mc, ne, r: algo.update(st, tr, mc, ne, r)[0])
-    t_upd = timeit(upd, state, seg.transitions, seg.stats.mean_cost,
-                   seg.stats.n_episodes, rng, iters=cfg.iters)
-    res["t_update_ms"] = t_upd * 1e3
-
-    # --- full fused iteration, unroll sweep ---
-    def make_full(unroll):
-        r = make_rollout_fn(env, algo.act_fn, cfg.T, unroll=unroll)
-
-        @jax.jit
-        def full(state, env_state, stats, rng):
-            rng, k1, k2 = jax.random.split(rng, 3)
-            out = r(state.params, env_state, stats.reset_aggregates(), k1)
-            state, _ = algo.update(state, out.transitions,
-                                   out.stats.mean_cost,
-                                   out.stats.n_episodes, k2)
-            return state, out.env_state, out.stats, rng
-
-        return full
-
+    # --- rollout only, unroll sweep ---
     for unroll in (1, 4):
-        full = make_full(unroll)
-        st, es, sts, rg = full(state, env_state, stats, rng)
-        jax.block_until_ready(st.params)
+        ro = make_rollout_fn(env, algo.act_fn, cfg.T, unroll=unroll)
 
-        def run(st, es, sts, rg, _f=full):
-            return _f(st, es, sts, rg)[0].params
+        def body(carry, _, _ro=ro):
+            es, st, rng = carry
+            rng, k = jax.random.split(rng)
+            out = _ro(state.params, es, st, k)
+            return (out.env_state, out.stats, rng), None
 
-        t = timeit(run, st, es, sts, rg, iters=cfg.iters)
-        res[f"t_full_unroll{unroll}_ms"] = t * 1e3
-        res[f"steps_per_s_unroll{unroll}"] = cfg.N * cfg.T / t
+        t, t1 = scan_diff_time(body, (env_state, stats, rng), cfg.K,
+                               cfg.iters, lambda c: c[0])
+        res[f"t_rollout_unroll{unroll}_ms"] = t
 
-    # --- (N, T) shape sweep at constant N*T (rollout-only) ---
+    # --- full fused iteration ---
+    ro = make_rollout_fn(env, algo.act_fn, cfg.T)
+
+    def full_body(carry, _):
+        st, es, sts, rng = carry
+        rng, k1, k2 = jax.random.split(rng, 3)
+        out = ro(st.params, es, sts.reset_aggregates(), k1)
+        st, _ = algo.update(st, out.transitions, out.stats.mean_cost,
+                            out.stats.n_episodes, k2)
+        return (st, out.env_state, out.stats, rng), None
+
+    t_full, t1 = scan_diff_time(full_body, (state, env_state, stats, rng),
+                                cfg.K, cfg.iters, lambda c: c[0].params)
+    res["t_full_device_ms"] = t_full
+    res["t_dispatch_ms"] = max(t1 - t_full, 0.0)
+    res["t_update_ms"] = t_full - res["t_rollout_unroll1_ms"]
+    res["steps_per_s_device"] = cfg.N * cfg.T / t_full * 1e3
+
+    # --- (N, T) sweep at constant N*T (full iteration) ---
     res["shape_sweep"] = {}
-    total = cfg.N * cfg.T
     for N2, T2 in ((cfg.N, cfg.T), (cfg.N * 2, cfg.T // 2),
                    (cfg.N * 4, cfg.T // 4)):
         if T2 < 4:
             continue
         es2 = env.reset_vec(rng, N2)
         st2 = EpisodeStats.init(N2, env.num_costs)
-        ro2 = make_rollout_fn(env, algo.act_fn, T2, unroll=1)
-        f2 = jax.jit(lambda p, e, s, r, _ro=ro2: _ro(p, e, s, r).transitions.reward)
-        t = timeit(f2, state.params, es2, st2, rng, iters=cfg.iters)
+        ro2 = make_rollout_fn(env, algo.act_fn, T2)
+
+        def fb2(carry, _, _ro=ro2):
+            st, es, sts, rng = carry
+            rng, k1, k2 = jax.random.split(rng, 3)
+            out = _ro(st.params, es, sts.reset_aggregates(), k1)
+            st, _ = algo.update(st, out.transitions, out.stats.mean_cost,
+                                out.stats.n_episodes, k2)
+            return (st, out.env_state, out.stats, rng), None
+
+        t, _ = scan_diff_time(fb2, (state, es2, st2, rng), cfg.K,
+                              cfg.iters, lambda c: c[0].params)
         res["shape_sweep"][f"N{N2}_T{T2}"] = {
-            "t_ms": round(t * 1e3, 2), "steps_per_s": round(total / t)}
+            "t_ms": round(t, 2), "steps_per_s": round(N2 * T2 / t * 1e3)}
 
     for k, v in res.items():
         if isinstance(v, float):

@@ -126,7 +126,8 @@ def normalize_adv(adv: Array, eps: float = 1e-8) -> Array:
     return (adv - mean) / (std + eps)
 
 
-def make_optimizer(lr, max_grad_norm: float | None = None):
+def make_optimizer(lr, max_grad_norm: float | None = None,
+                   flat: bool = False):
     """Adam with optional global-norm clipping.
 
     ``lr`` may be a float or any optax schedule (``Callable[[step], lr]``) —
@@ -141,15 +142,17 @@ def make_optimizer(lr, max_grad_norm: float | None = None):
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(optax.adam(lr))
-    # optax.flatten: run the transform on ONE concatenated vector instead of
-    # ~8 leaves. Mathematically identical per element (global-norm clip is a
-    # sum either way), but collapses ~50 small per-leaf HLOs per grad step
-    # into ~10 vector ops — measured 0.34 -> 0.23 ms per in-scan optimizer
-    # step on v5e (benchmarks/bench_update_breakdown.py). Note: changes the
-    # opt_state pytree (flat mu/nu), so pre-round-5 checkpoints restore
-    # params but not optimizer moments (load_checkpoint raises on the shape
-    # mismatch; re-init the optimizer to migrate).
-    return optax.flatten(optax.chain(*chain))
+    tx = optax.chain(*chain)
+    # flat=True: optax.flatten runs the transform on ONE concatenated vector
+    # instead of ~8 leaves — fewer small HLOs per grad step, a win inside
+    # PPO's 32-step update scan (0.34 -> 0.23 ms/step in isolation,
+    # benchmarks/bench_update_breakdown.json). It LOSES for the off-policy
+    # algorithms (one grad step per dispatch: the ravel/unravel overhead is
+    # not amortized — sacl 91.6k -> 55.8k steps/s when it was made the
+    # default), so it is opt-in. Note: changes the opt_state pytree (flat
+    # mu/nu), so older checkpoints restore params but need optimizer
+    # re-init.
+    return optax.flatten(tx) if flat else tx
 
 
 def per_update_schedule(schedule, grad_steps_per_update: int):

@@ -30,6 +30,7 @@ from fsrl_tpu.nets.mlp import (GaussianActor, VCriticEnsemble,
                                fused_pi_v_apply)
 from fsrl_tpu.ops.lagrange import (PIDLagrangianState, pid_controller_step,
                                    rescaling_factor)
+from fsrl_tpu.ops.fused_ppo_grad import ppo_grad_minibatch
 from fsrl_tpu.types import Transition, minibatch_epochs_scan
 
 Array = jax.Array
@@ -84,6 +85,7 @@ class PPOLag:
         compute_dtype: Any = None,   # jnp.bfloat16 → MXU mixed precision trunks
         episode_len: int | None = None,  # env truncation horizon → 1-pass GAE critic
         dp_blocks: int = 1,   # dp mesh size → block-local minibatch shuffle
+        use_pallas_grad: bool = False,  # fused TPU grad-step kernel (see ops/fused_ppo_grad.py: wins in isolation, loses in-pipeline to custom-call layout copies)
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs
@@ -115,7 +117,18 @@ class PPOLag:
         # math, ~half the HBM-roundtripping ops per grad step); only the
         # standard PPO net recipe qualifies
         self.fused_forward = len(tuple(hidden_sizes)) == 2
-        self.tx = make_optimizer(lr, max_grad_norm)
+        # monolithic pallas grad-step kernel (ops/fused_ppo_grad.py): the
+        # update scan is latency-bound on ~150 small XLA kernels per grad
+        # step; the fused kernel computes the whole minibatch gradient in
+        # one launch. Envelope: the standard reference recipe only.
+        self.use_pallas_grad = use_pallas_grad
+        self._pallas_ok = (
+            len(tuple(hidden_sizes)) == 2
+            and dual_clip is None and not value_clip
+            and advantage_normalization and not unbounded
+            and max_action == 1.0 and dp_blocks == 1
+        )
+        self.tx = make_optimizer(lr, max_grad_norm, flat=True)
 
     # ---------------- init ----------------
     def init(self, rng: Array) -> PPOLagState:
@@ -254,9 +267,25 @@ class PPOLag:
 
         n_mb = hp["n_minibatches"]
 
+        # minibatch row count the scan will produce (types.py tiling math);
+        # the kernel needs a 128-divisible batch to tile the grid
+        _rows = batch.obs.shape[0]
+        _ts = max(1, _rows // 4096)
+        _usable = ((_rows // _ts) // hp["n_minibatches"]) * hp["n_minibatches"]
+        _mb_rows = (_usable // hp["n_minibatches"]) * _ts
+        use_pallas = bool(self.use_pallas_grad) and self._pallas_ok and (
+            _mb_rows % 128 == 0)
+
         def mb_body(carry, mb, is_end):
             params, opt_state, stopped, gsteps, kl_acc = carry
-            (loss, aux), grads = grad_fn(params, mb)
+            if use_pallas:
+                adv_n = normalize_adv(mb.adv) if hp["norm_adv"] else mb.adv
+                loss, aux, grads = ppo_grad_minibatch.__wrapped__(
+                    params, mb.obs, mb.act, mb.logp_old, adv_n, mb.ret,
+                    lam_mult, resc, eps_clip=hp["eps_clip"],
+                    vf_coef=hp["vf_coef"], compute_dtype=self.compute_dtype)
+            else:
+                (loss, aux), grads = grad_fn(params, mb)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             params = select_tree(stopped, params, new_params)
@@ -280,7 +309,7 @@ class PPOLag:
             rng, batch, hp["repeat"], n_mb, mb_body,
             (state.params, state.opt_state, jnp.zeros((), bool),
              state.gradient_steps, jnp.zeros(())),
-            n_blocks=hp["dp_blocks"], unroll=n_mb,
+            n_blocks=hp["dp_blocks"], unroll=n_mb, per_leaf=use_pallas,
         )
 
         metrics = {("loss/" + k if not k.startswith("loss") else

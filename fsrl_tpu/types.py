@@ -314,6 +314,7 @@ def minibatch_epochs_scan(
     tile_size: int | None = None,
     n_blocks: int = 1,
     unroll: int = 1,
+    per_leaf: bool = False,
 ):
     """Multi-epoch variant of :func:`minibatch_scan`: pack ONCE, draw all
     ``n_epochs`` per-block tile permutations up front, gather them in one
@@ -331,6 +332,13 @@ def minibatch_epochs_scan(
     ``body(carry, mb, is_epoch_end) -> (carry, aux)`` — the extra flag marks
     each epoch's last minibatch so epoch-granular logic (the reference's KL
     early stop, ``ppo_lag.py:249-255``) lives in the caller's body.
+
+    ``per_leaf=True`` gathers each leaf separately (same tile permutation,
+    a few more gather launches) so each scanned minibatch is a NATURAL
+    row-major (mb_rows, D) array instead of an unpacked view of the packed
+    buffer. Use when the body hands the minibatch to a custom kernel with
+    layout constraints (``ops/fused_ppo_grad.py``): the packed-view unpack
+    otherwise forces a relayout copy of every leaf per grad step.
 
     Shuffle semantics are identical to :func:`minibatch_scan` (block-local
     tile permutations, re-randomized excluded tail), with one difference:
@@ -374,6 +382,29 @@ def minibatch_epochs_scan(
     widths = [f.shape[2] for f in flat]
 
     n_steps = n_epochs * n_minibatches
+    is_end_arr = (jnp.arange(n_steps) + 1) % n_minibatches == 0
+
+    if per_leaf:
+        mb_rows = n_blocks * tiles_per_mb_pb * tile_size
+        cols = []
+        for x, tr_shape, f in zip(leaves, trailing, flat):
+            # (E, n_blocks, usable, tile*D) -> (E*n_mb, mb_rows, *trailing);
+            # the tiles->rows reshape is a row-major no-op view
+            shuf = jax.vmap(
+                lambda pr, _p=f: jnp.take_along_axis(
+                    _p, pr[:, :, None], axis=1))(perms)
+            cols.append(shuf.reshape(
+                n_epochs, n_blocks, n_minibatches, tiles_per_mb_pb, -1
+            ).swapaxes(1, 2).reshape((n_steps, mb_rows) + tr_shape))
+        mbs = jax.tree.unflatten(treedef, cols)
+
+        def body_pl(carry, x):
+            mb, end = x
+            return body(carry, mb, end)
+
+        return jax.lax.scan(body_pl, carry_init, (mbs, is_end_arr),
+                            unroll=unroll)
+
     gathered: dict = {}
     for dt, idxs in groups.items():
         packed = flat[idxs[0]] if len(idxs) == 1 else jnp.concatenate(
