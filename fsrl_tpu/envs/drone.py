@@ -2,9 +2,10 @@
 SafetyDroneRun-v0 / SafetyDroneCircle-v0 analogs of Bullet-Safety-Gym's Drone.
 
 Dynamics: rigid body with roll/pitch attitude, rotor mixing to (thrust, roll
-torque, pitch torque); yaw is ignored. Gravity must be actively compensated, and
-the episode terminates on ground contact (z <= 0) — the one agent in the family
-with a true ``terminated`` signal, exercising the value-mask path.
+torque, pitch torque); yaw is ignored. Gravity must be actively compensated.
+The ground is an inelastic resting plane (reference PyBullet semantics —
+crashing does not end the episode); flying far above the arena terminates,
+so the family still exercises the true-``terminated``/value-mask path.
 """
 
 from __future__ import annotations
@@ -80,6 +81,21 @@ class DroneEnv(SafeEnv):
         ]) - jnp.array([0.0, 0.0, G]) - jnp.asarray(LIN_DRAG) * sim.vel
         vel = sim.vel + DT * acc
         pos = sim.pos + DT * vel
+        # Inelastic ground plane (round-5 reference alignment): the
+        # PyBullet drone RESTS on the plane and the episode continues —
+        # crashing is not an exit. Our previous hard crash-termination made
+        # "die fast" the nearest feasible point under a wound-up multiplier
+        # and stalled every monotone/deterministic learner on DroneRun
+        # (trpol 0.22x / cpo 0.41x / sacl -0.03x, benchmarks/
+        # diag_drone_trpol.py findings C-D). Grounded: z clamped, downward
+        # velocity zeroed (thrust can still lift off), strong xy friction.
+        grounded = pos[2] <= 0.0
+        pos = pos.at[2].set(jnp.maximum(pos[2], 0.0))
+        vel = jnp.where(
+            grounded,
+            jnp.array([0.3, 0.3, 1.0]) * jnp.maximum(
+                vel, jnp.array([-jnp.inf, -jnp.inf, 0.0])),
+            vel)
         return DroneSim(pos=pos, vel=vel, att=att, angvel=angvel)
 
     def _obs(self, sim: DroneSim) -> Array:
@@ -95,13 +111,16 @@ class DroneEnv(SafeEnv):
 
     def _reward_cost(self, sim_prev: DroneSim, sim: DroneSim, action: Array):
         reward, cost = self.task.reward_cost(sim.pos[:2], sim.vel[:2])
-        # altitude-hold shaping + crash penalty keep the task well-posed in 3D
+        # altitude-hold shaping + per-step grounded penalty (the ground is a
+        # resting state, not an exit — see _step_sim); flying away still
+        # terminates with a penalty
         reward = reward - 0.1 * jnp.abs(sim.pos[2] - Z_TARGET) \
+            - 1.0 * (sim.pos[2] <= 0.0).astype(jnp.float32) \
             - 10.0 * self._terminated(sim).astype(jnp.float32)
         return reward, cost
 
     def _terminated(self, sim: DroneSim) -> Array:
-        return jnp.logical_or(sim.pos[2] <= 0.0, sim.pos[2] > 4.0 * Z_TARGET)
+        return sim.pos[2] > 4.0 * Z_TARGET
 
 
 register("SafetyDroneRun-v0", lambda **kw: DroneEnv(RunTask(**kw)))

@@ -97,7 +97,42 @@ def test_circle_task_cost_and_reward_direction():
     assert float(c) == 1.0
 
 
-def test_drone_terminates_on_crash():
+def test_drone_ground_is_resting_state_not_exit():
+    """Free fall reaches the ground plane and RESTS there (reference
+    PyBullet semantics, round-5 alignment): no termination, z clamped at 0,
+    a per-step grounded reward penalty, and thrust can lift off again."""
+    env = make("SafetyDroneRun-v0")
+    state = env.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def run(state):
+        def body(c, _):
+            s, term, z, r = c
+            # full negative rotors → zero thrust → free fall
+            s, ts = env.step(s, -jnp.ones(4))
+            return (s, jnp.logical_or(term, ts.terminated),
+                    s.sim.pos[2], ts.reward), None
+        return jax.lax.scan(body, (state, jnp.zeros((), bool),
+                                   jnp.zeros(()), jnp.zeros(())),
+                            None, length=100)
+
+    (s_end, term, z_end, r_end), _ = run(state)
+    assert not bool(term)                      # grounding is not an exit
+    assert float(z_end) == 0.0                 # resting on the plane
+    assert float(r_end) < -0.9                 # grounded penalty applies
+
+    @jax.jit
+    def lift(state):
+        def body(s, _):
+            s, ts = env.step(s, jnp.ones(4))   # full thrust
+            return s, s.sim.pos[2]
+        return jax.lax.scan(body, state, None, length=20)
+
+    _, zs = lift(s_end)
+    assert float(zs[-1]) > 0.5                 # can take off again
+
+
+def test_drone_flyaway_still_terminates():
     env = make("SafetyDroneRun-v0")
     state = env.reset(jax.random.PRNGKey(0))
 
@@ -105,11 +140,10 @@ def test_drone_terminates_on_crash():
     def run(state):
         def body(c, _):
             s, term = c
-            # full negative rotors → zero thrust → free fall
-            s, ts = env.step(s, -jnp.ones(4))
+            s, ts = env.step(s, jnp.ones(4))   # full thrust forever
             return (s, jnp.logical_or(term, ts.terminated)), None
-        return jax.lax.scan(body, (state, jnp.zeros((), bool)), None, length=100)
-
+        return jax.lax.scan(body, (state, jnp.zeros((), bool)), None,
+                            length=200)
     (_, term), _ = run(state)
     assert bool(term)
 
