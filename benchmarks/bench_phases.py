@@ -104,6 +104,29 @@ def main(cfg: PhaseCfg):
     res["t_update_ms"] = t_full - res["t_rollout_unroll1_ms"]
     res["steps_per_s_device"] = cfg.N * cfg.T / t_full * 1e3
 
+    # --- gae_impl sweep: full iteration with each GAE backend ---
+    res["gae_impl_sweep"] = {}
+    for impl in ("pscan", "scan", "pallas"):
+        if cfg.small and impl == "pallas":
+            continue   # pallas path needs the TPU (interpret twin in tests)
+        algo_g = PPOLag(env.observation_size, env.action_size,
+                        cost_limit=10.0, repeat=4, n_minibatches=8,
+                        compute_dtype=jnp.bfloat16, gae_impl=impl)
+        st_g = algo_g.init(rng)
+        ro_g = make_rollout_fn(env, algo_g.act_fn, cfg.T, unroll=4)
+
+        def gb(carry, _, _ro=ro_g, _a=algo_g):
+            st, es, sts, rng = carry
+            rng, k1, k2 = jax.random.split(rng, 3)
+            out = _ro(st.params, es, sts.reset_aggregates(), k1)
+            st, _ = _a.update(st, out.transitions, out.stats.mean_cost,
+                              out.stats.n_episodes, k2)
+            return (st, out.env_state, out.stats, rng), None
+
+        t, _ = scan_diff_time(gb, (st_g, env_state, stats, rng), cfg.K,
+                              cfg.iters, lambda c: c[0].params)
+        res["gae_impl_sweep"][impl] = round(t, 3)
+
     # --- (N, T) sweep at constant N*T (full iteration) ---
     res["shape_sweep"] = {}
     for N2, T2 in ((cfg.N, cfg.T), (cfg.N * 2, cfg.T // 2),

@@ -46,7 +46,7 @@ def process_rollout(
     tr: Transition,
     gamma: float,
     lam: float,
-    gae_impl: str = "pscan",   # "pscan" (log-depth associative scan) | "scan"
+    gae_impl: str = "pscan",   # "pscan" | "scan" | "pallas" (TPU kernel)
     ret_rms=None,              # RunningMeanStd (K,) → reward normalization on
     episode_len: int | None = None,   # env truncation horizon → 1-pass critic
 ) -> OnPolicyBatch:
@@ -88,7 +88,12 @@ def process_rollout(
     mask = jnp.logical_not(tr.terminated).astype(values.dtype)[..., None]
     values_next = values_next * mask
     end_flag = jnp.logical_or(tr.terminated, tr.truncated)
-    gae_fn = gae_advantages_pscan if gae_impl == "pscan" else gae_advantages
+    if gae_impl == "pallas":
+        from fsrl_tpu.ops.pallas_gae import gae_advantages_pallas
+        gae_fn = gae_advantages_pallas
+    else:
+        gae_fn = gae_advantages_pscan if gae_impl == "pscan" \
+            else gae_advantages
 
     if ret_rms is not None:
         # reward_normalization pipeline (reference base_policy.py:434-444):

@@ -84,6 +84,7 @@ class PPOLag:
         deterministic_eval: bool = True,
         compute_dtype: Any = None,   # jnp.bfloat16 → MXU mixed precision trunks
         episode_len: int | None = None,  # env truncation horizon → 1-pass GAE critic
+        gae_impl: str = "pscan",  # "pscan" | "scan" | "pallas" (TPU kernel)
         dp_blocks: int = 1,   # dp mesh size → block-local minibatch shuffle
         use_pallas_grad: bool = False,  # fused TPU grad-step kernel (see ops/fused_ppo_grad.py: wins in isolation, loses in-pipeline to custom-call layout copies)
     ):
@@ -101,7 +102,7 @@ class PPOLag:
             pid_filter=pid_filter,
             rescaling=rescaling, gamma=gamma, repeat=repeat,
             n_minibatches=n_minibatches, episode_len=episode_len,
-            dp_blocks=dp_blocks,
+            gae_impl=gae_impl, dp_blocks=dp_blocks,
         )
         self.deterministic_eval = deterministic_eval
         self.actor = GaussianActor(
@@ -201,13 +202,14 @@ class PPOLag:
             batch, ret_rms = process_rollout(
                 lambda p, o: self.critics.apply(p["critics"], o),
                 state.params, tr, hp["gamma"], hp["gae_lambda"],
+                gae_impl=hp["gae_impl"],
                 ret_rms=state.ret_rms, episode_len=hp["episode_len"],
             )
         else:
             batch = process_rollout(
                 lambda p, o: self.critics.apply(p["critics"], o),
                 state.params, tr, hp["gamma"], hp["gae_lambda"],
-                episode_len=hp["episode_len"],
+                gae_impl=hp["gae_impl"], episode_len=hp["episode_len"],
             )
             ret_rms = state.ret_rms
 
