@@ -27,9 +27,26 @@ Conclusion: the 0.22-0.44x DroneRun trust-region/deterministic cells are
 an algorithm-class x env-structure interaction (crash-termination makes
 "die fast" the nearest feasible point), not an env-dynamics defect (B) and
 not a tuning defect (A). The reference's PyBullet drone has softer
-crash behavior; its published trpol curve plateaus mid-tier. Candidate
-future fix: entropy-floor or survival-bonus shaping — both change the
-algorithm/task semantics, so they are left out of the parity build.
+crash behavior; its published trpol curve plateaus mid-tier.
+
+ROUND-5 UPDATE (after the ground-floor alignment, fsrl_tpu/envs/drone.py —
+ground is now a resting state, not an exit):
+
+  E. SAC-Lag is FIXED by the alignment alone: best -11 -> 694 @ cost 0.6
+     (1.85x the reference scale, 3 seeds in benchmarks/results_1m). The
+     bang-bang "crash early, pay nothing" exit was the whole sacl failure.
+  F. Trust-region still stalls, but the basin moved from "crash" to "hover
+     still / sit grounded" (feasible, reward ~0-50). Probes on the aligned
+     env, 1M each: sigma_floor=0.2 entropy floor (best 44.8@24.0, mid-run
+     peak 72 then decay), softer PID 0.05/0.0005/0.1 (best 47.5@24.5),
+     target_kl=0.02 (best 51.5@24.8) — all ~0.1x. The multiplier reacts
+     faster than the monotone KL-bounded steps can coordinate
+     tilt+thrust+speed near the constraint boundary, so the policy retreats
+     to the v=0 interior optimum each oscillation. PPO's clipped stochastic
+     updates (reward 491-700) and all off-policy learners escape it.
+     Remaining as a documented limitation of the analog: the quadrotor
+     attitude coupling makes the feasible boundary harder to ride than the
+     reference's PyBullet drone.
 
 Usage: JAX_PLATFORMS=cpu python benchmarks/diag_drone_trpol.py \
            --variants A,B --budget 500000

@@ -62,6 +62,7 @@ class CurveCfg:
     # integral than the Bullet default to reach the lambda equilibrium
     # in-budget (see /tmp-era gain sweep results in docs/nav_fidelity.md).
     pid_onpolicy: str = ""
+    sigma_floor: float = 0.0
     # optional FOCOPS nu ceiling override (0 = reference default 2.0) — the
     # same dense-reward scale argument: Goal2 needs nu beyond 2
     nu_max: float = 0.0
@@ -76,6 +77,10 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
             float(x) for x in cfg.pid_onpolicy.split(",")))
     if cfg.nu_max and key == "focops":
         kw = dict(kw, nu_max=cfg.nu_max)
+    if cfg.sigma_floor and key in ("trpol", "cpo"):
+        # entropy floor for the monotone trust-region family (documented
+        # deviation; see fsrl_tpu/nets/mlp.py::GaussianActor.sigma_floor)
+        kw = dict(kw, sigma_floor=cfg.sigma_floor)
     agent = agent_cls(cfg.task, cost_limit=cfg.cost_limit, seed=seed, **kw)
     curve = {"env_step": [], "reward": [], "cost": []}
     t0 = time.time()
@@ -119,6 +124,8 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
         **({"pid": cfg.pid_onpolicy} if cfg.pid_onpolicy and
            key in ("ppol", "trpol") else {}),
         **({"nu_max": cfg.nu_max} if cfg.nu_max and key == "focops" else {}),
+        **({"sigma_floor": cfg.sigma_floor} if cfg.sigma_floor and
+           key in ("trpol", "cpo") else {}),
         "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
         "n_envs": common["n_envs"],
         "steps_per_collect": common["steps_per_collect"],

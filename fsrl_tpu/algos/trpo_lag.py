@@ -82,6 +82,7 @@ class TRPOLag:
         damping: float = 0.1,
         repeat: int = 1,
         deterministic_eval: bool = True,
+        sigma_floor: float | None = None,  # entropy floor (documented deviation)
         compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
         episode_len: int | None = None,  # env truncation horizon -> 1-pass GAE critic
     ):
@@ -104,7 +105,8 @@ class TRPOLag:
         self.actor = GaussianActor(
             act_dim=act_dim, hidden_sizes=hidden_sizes, max_action=max_action,
             unbounded=unbounded, conditioned_sigma=False,
-            last_layer_scale=last_layer_scale, compute_dtype=compute_dtype,
+            last_layer_scale=last_layer_scale, sigma_floor=sigma_floor,
+            compute_dtype=compute_dtype,
         )
         self.critics = VCriticEnsemble(num_critics=self.K, hidden_sizes=hidden_sizes,
                                        compute_dtype=compute_dtype)

@@ -84,6 +84,7 @@ class GaussianActor(nn.Module):
     conditioned_sigma: bool = False
     last_layer_scale: bool = False
     sigma_init: float = -0.5    # free-log-sigma init (ppo_lag_agent.py:147)
+    sigma_floor: float | None = None   # exploration floor: sigma >= floor
     compute_dtype: Any = None   # bf16 trunk matmuls; mu/sigma heads stay f32
 
     @nn.compact
@@ -106,6 +107,14 @@ class GaussianActor(nn.Module):
                 "log_sigma", nn.initializers.constant(self.sigma_init),
                 (self.act_dim,)
             )
+            if self.sigma_floor is not None:
+                # entropy floor (documented deviation): keeps exploration
+                # alive for monotone trust-region learners on tasks whose
+                # nearest feasible point is degenerate (DroneRun: sigma
+                # collapse locks TRPO/CPO into the sit-on-ground basin
+                # even after the multiplier releases)
+                log_sigma = jnp.maximum(log_sigma,
+                                        jnp.log(self.sigma_floor))
             log_sigma = jnp.broadcast_to(log_sigma, mu.shape)
         return DiagGaussian(mean=mu, std=jnp.exp(log_sigma))
 
