@@ -58,6 +58,7 @@ REFERENCE_NAV = {
 @dataclass
 class NavFidCfg:
     results: str = "benchmarks/results_1m"
+    results_mj: str = "benchmarks/results_pointgoal"
     out: str = "docs/nav_fidelity.md"
 
 
@@ -138,6 +139,46 @@ def main(cfg: NavFidCfg):
             "Infeasible cells (no feasible checkpoint on any seed): " +
             ", ".join(infeasible_cells) + ".",
         ]
+    # ---- real-physics PointGoal1 (raw MuJoCo reconstruction) ----
+    mj_rows = []
+    for fpath in sorted(glob.glob(os.path.join(cfg.results_mj, "*.json"))):
+        try:
+            r = json.load(open(fpath))
+        except Exception:
+            continue
+        if isinstance(r, dict) and r.get("physics") == "mujoco":
+            mj_rows.append(r)
+    if mj_rows:
+        REF_PG1 = {"ppol": 14.5, "cpo": 15.5, "trpol": 19.5, "cvpo": 24.0,
+                   "focops": 10.0}
+        by_algo: dict = defaultdict(list)
+        for r in mj_rows:
+            by_algo[r["algo"]].append(r)
+        lines += [
+            "",
+            "## Real-physics PointGoal1 (raw MuJoCo)",
+            "",
+            "`fsrl_tpu/envs/pointgoal_mj.py` rebuilds the PointGoal1 scene",
+            "on the raw `mujoco` bindings (damped point robot, 8 hazard",
+            "circles, resampling goal, 16-bin pseudo-lidars — the",
+            "safety-gymnasium scene is itself just MuJoCo + task code), so",
+            "these rewards ARE on the reference's scale, unlike the JAX",
+            "analog rows above. Reference plateaus from",
+            "`benchmark.rst:81-113` at cost_limit 25.",
+            "",
+            "| algo | reference plateau | ours best ckpt (cost) | n | ratio |",
+            "|---|---|---|---|---|",
+        ]
+        for algo, rows in sorted(by_algo.items()):
+            mr = sum(x.get("best_reward", x["final_reward"])
+                     for x in rows) / len(rows)
+            mc = sum(x.get("best_cost", x["final_cost"])
+                     for x in rows) / len(rows)
+            rv = REF_PG1.get(algo)
+            ratio = f"{mr / rv:.2f}x" if rv else "—"
+            lines.append(f"| {algo} | ~{rv} | {mr:.1f} ({mc:.0f}) | "
+                         f"{len(rows)} | {ratio} |")
+
     lines += [
         "",
         "Known analysis for the partially-feasible cells:",
