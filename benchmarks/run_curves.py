@@ -63,6 +63,7 @@ class CurveCfg:
     # in-budget (see /tmp-era gain sweep results in docs/nav_fidelity.md).
     pid_onpolicy: str = ""
     sigma_floor: float = 0.0
+    qc_ucb: float = 0.0
     # optional FOCOPS nu ceiling override (0 = reference default 2.0) — the
     # same dense-reward scale argument: Goal2 needs nu beyond 2
     nu_max: float = 0.0
@@ -77,6 +78,9 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
             float(x) for x in cfg.pid_onpolicy.split(",")))
     if cfg.nu_max and key == "focops":
         kw = dict(kw, nu_max=cfg.nu_max)
+    if cfg.qc_ucb and key == "sacl":
+        # cost-Q head-disagreement pessimism (Button1 attractor attempt)
+        kw = dict(kw, qc_ucb=cfg.qc_ucb)
     if cfg.sigma_floor and key in ("trpol", "cpo"):
         # entropy floor for the monotone trust-region family (documented
         # deviation; see fsrl_tpu/nets/mlp.py::GaussianActor.sigma_floor)
@@ -126,6 +130,7 @@ def run_one(cfg: CurveCfg, key: str, seed: int) -> dict:
         **({"nu_max": cfg.nu_max} if cfg.nu_max and key == "focops" else {}),
         **({"sigma_floor": cfg.sigma_floor} if cfg.sigma_floor and
            key in ("trpol", "cpo") else {}),
+        **({"qc_ucb": cfg.qc_ucb} if cfg.qc_ucb and key == "sacl" else {}),
         "cost_limit": cfg.cost_limit, "budget": budget, "wall_s": wall,
         "n_envs": common["n_envs"],
         "steps_per_collect": common["steps_per_collect"],

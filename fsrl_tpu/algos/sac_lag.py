@@ -74,6 +74,9 @@ class SACLag:
         use_lagrangian: bool = True,
         pid_filter: bool = True,   # False = exact reference recurrence (ablation)
         reference_qc: bool = False,  # True = reference min-head/entropy-everywhere Qc (ablation)
+        qc_ucb: float = 0.0,  # cost-Q disagreement bonus: penalize actor by
+                              # max-head + qc_ucb*|q1-q2| (uncertainty-aware
+                              # pessimism; Button1 attractor attempt, r5)
         lagrangian_pid=(0.05, 0.0005, 0.1),
         rescaling: bool = True,
         gamma: float = 0.99,
@@ -90,7 +93,8 @@ class SACLag:
         self.hp = dict(
             tau=tau, n_step=n_step, use_lagrangian=use_lagrangian,
             pid=tuple(lagrangian_pid), pid_filter=pid_filter,
-            reference_qc=reference_qc, rescaling=rescaling, gamma=gamma,
+            reference_qc=reference_qc, qc_ucb=qc_ucb,
+            rescaling=rescaling, gamma=gamma,
             batch_size=batch_size, auto_alpha=auto_alpha,
             target_entropy=-float(act_dim),
         )
@@ -241,6 +245,12 @@ class SACLag:
                 # relu: a (transient) negative cost-Q is estimation artifact
                 # — zero gradient there beats actively attracting the actor
                 qc_pen = jax.nn.relu(q[:, 1:])
+                if hp["qc_ucb"] > 0:
+                    # head-disagreement pessimism: where the two cost heads
+                    # disagree the critic is unreliable — push the actor
+                    # away from uncertain-cost regions, not just known-bad
+                    spread = jnp.abs(q_all[:, 1:, 0] - q_all[:, 1:, 1])
+                    qc_pen = qc_pen + hp["qc_ucb"] * spread
             loss_rew = jnp.mean(alpha * logp - q[:, 0])
             loss_safety = jnp.sum(lam_mult * jnp.mean(qc_pen, axis=0)) \
                 if hp["use_lagrangian"] else 0.0

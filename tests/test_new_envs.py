@@ -139,3 +139,38 @@ def test_push_env_box_moves_and_pillar_costs():
     sp2, ts = env.step(sp, jnp.zeros(env.action_size))
     assert float(ts.cost.sum()) == 1.0
     assert float(jnp.linalg.norm(sp2.sim.pos - sp2.sim.pillar)) >= 0.44
+
+
+def test_pointgoal_mj_task_semantics():
+    """Raw-MuJoCo PointGoal1 reconstruction: goal reach pays +1 and
+    resamples without ending the episode; standing inside a hazard pays
+    cost 1/step; obs is finite with the documented layout."""
+    import numpy as np
+    from fsrl_tpu.envs.pointgoal_mj import (GOAL_R, HAZARD_R, PointGoalMJEnv)
+
+    env = PointGoalMJEnv(seed=3)
+    obs, _ = env.reset(seed=3)
+    assert obs.shape == (3 + 3 + 2 * 16,)
+    assert np.all(np.isfinite(obs))
+
+    # teleport onto the goal: the step must pay the bonus and resample
+    env.data.qpos[0:2] = env.goal
+    env._last_dist = 0.0
+    old_goal = env.goal.copy()
+    obs, r, term, trunc, info = env.step([0.0, 0.0])
+    assert info["goal_met"] and r > 0.5 and not term
+    assert np.linalg.norm(env.goal - old_goal) > 1e-6  # resampled
+
+    # teleport into a hazard: cost fires every step
+    env.data.qpos[0:2] = env.hazards[0]
+    env.data.qvel[:] = 0.0
+    _, _, _, _, info = env.step([0.0, 0.0])
+    assert info["cost"] == 1.0
+
+    # physics sanity: forward thrust moves the robot along its heading
+    env.reset(seed=4)
+    env.data.qpos[2] = 0.0
+    x0 = float(env.data.qpos[0])
+    for _ in range(25):
+        env.step([1.0, 0.0])
+    assert float(env.data.qpos[0]) > x0 + 0.15
