@@ -56,6 +56,35 @@ def _pseudo_lidar(pos: Array, points: Array, radius: float) -> Array:
     return out.at[bins].max(strength)
 
 
+def _robot_step(robot: str, pos: Array, vel: Array, action: Array):
+    """Shared robot dynamics: "point" = force-controlled damped mass,
+    "car" = unicycle (vel stores [speed, heading]) — the two safety-gymnasium
+    robots our analogs model. Both keep vel shape (2,)."""
+    if robot == "point":
+        acc = 10.0 * action - 1.0 * vel
+        vel = vel + DT * acc
+        pos = pos + DT * vel
+    else:  # car
+        speed = vel[0] + DT * (8.0 * action[0] - vel[0])
+        heading = vel[1] + DT * 3.0 * action[1]
+        vel = jnp.array([speed, heading])
+        pos = pos + DT * speed * jnp.array([jnp.cos(heading),
+                                            jnp.sin(heading)])
+    return jnp.clip(pos, -1.5 * ARENA, 1.5 * ARENA), vel
+
+
+def _robot_ego(robot: str, vel: Array) -> Array:
+    if robot == "point":
+        return vel / 5.0
+    return jnp.array([vel[0] / 5.0, jnp.cos(vel[1]), jnp.sin(vel[1])])
+
+
+def _robot_world_vel(robot: str, vel: Array) -> Array:
+    if robot == "point":
+        return vel
+    return vel[0] * jnp.array([jnp.cos(vel[1]), jnp.sin(vel[1])])
+
+
 class GoalEnv(SafeEnv):
     """Goal navigation with hazards. ``robot`` in {"point", "car"}; ``level``
     in {1, 2} controls hazard count/size like safety-gymnasium."""
@@ -82,17 +111,7 @@ class GoalEnv(SafeEnv):
         return NavSim(pos=pos, vel=vel, goal=goal, hazards=hazards)
 
     def _step_sim(self, sim: NavSim, action: Array, rng: Array) -> NavSim:
-        if self.robot == "point":
-            acc = 10.0 * action - 1.0 * sim.vel
-            vel = sim.vel + DT * acc
-            pos = sim.pos + DT * vel
-        else:  # car: vel = (speed, heading)
-            speed = sim.vel[0] + DT * (8.0 * action[0] - sim.vel[0])
-            heading = sim.vel[1] + DT * 3.0 * action[1]
-            vel = jnp.array([speed, heading])
-            pos = sim.pos + DT * speed * jnp.array(
-                [jnp.cos(heading), jnp.sin(heading)])
-        pos = jnp.clip(pos, -1.5 * ARENA, 1.5 * ARENA)
+        pos, vel = _robot_step(self.robot, sim.pos, sim.vel, action)
 
         # goal resampling on reach (keeps episodes fixed-length like the suite)
         k_goal, rng = jax.random.split(rng)
@@ -102,16 +121,13 @@ class GoalEnv(SafeEnv):
         return NavSim(pos=pos, vel=vel, goal=goal, hazards=sim.hazards)
 
     def _world_vel(self, sim: NavSim) -> Array:
-        if self.robot == "point":
-            return sim.vel
-        return sim.vel[0] * jnp.array([jnp.cos(sim.vel[1]), jnp.sin(sim.vel[1])])
+        return _robot_world_vel(self.robot, sim.vel)
 
     def _obs(self, sim: NavSim) -> Array:
         rel = sim.goal - sim.pos
         dist = jnp.linalg.norm(rel)
         compass = rel / jnp.maximum(dist, 1e-6)
-        ego = sim.vel / 5.0 if self.robot == "point" else jnp.array(
-            [sim.vel[0] / 5.0, jnp.cos(sim.vel[1]), jnp.sin(sim.vel[1])])
+        ego = _robot_ego(self.robot, sim.vel)
         lidar = _pseudo_lidar(sim.pos, sim.hazards, self.hazard_radius)
         return jnp.concatenate([compass, jnp.array([dist / (2 * ARENA)]),
                                 ego, lidar])
@@ -163,13 +179,16 @@ class ButtonEnv(SafeEnv):
 
     max_episode_steps = 1000
 
-    def __init__(self, level: int = 1):
+    def __init__(self, level: int = 1, robot: str = "point"):
+        assert robot in ("point", "car")
+        self.robot = robot
         self.n_hazards = 4 if level == 1 else 6
         self.n_gremlins = 4 if level == 1 else 6
         self.hazard_radius = 0.2 if level == 1 else 0.25
         self.action_size = 2
-        # compass(2) + dist(1) + vel(2) + lidar(buttons/hazards/gremlins)
-        self.observation_size = 5 + 3 * LIDAR_BINS
+        # compass(2) + dist(1) + ego(2|3) + lidar(buttons/hazards/gremlins)
+        self.observation_size = 3 + (2 if robot == "point" else 3) \
+            + 3 * LIDAR_BINS
 
     def _init_sim(self, rng: Array) -> ButtonSim:
         k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
@@ -193,9 +212,7 @@ class ButtonEnv(SafeEnv):
         return sim.gremlin_centers + orbit
 
     def _step_sim(self, sim: ButtonSim, action: Array, rng: Array) -> ButtonSim:
-        acc = 10.0 * action - 1.0 * sim.vel
-        vel = sim.vel + DT * acc
-        pos = jnp.clip(sim.pos + DT * vel, -1.5 * ARENA, 1.5 * ARENA)
+        pos, vel = _robot_step(self.robot, sim.pos, sim.vel, action)
         goal_btn = sim.buttons[sim.goal_idx]
         pressed = jnp.linalg.norm(pos - goal_btn) < BUTTON_RADIUS
         new_idx = jax.random.randint(rng, (), 0, N_BUTTONS)
@@ -209,7 +226,8 @@ class ButtonEnv(SafeEnv):
         dist = jnp.linalg.norm(rel)
         compass = rel / jnp.maximum(dist, 1e-6)
         return jnp.concatenate([
-            compass, jnp.array([dist / (2 * ARENA)]), sim.vel / 5.0,
+            compass, jnp.array([dist / (2 * ARENA)]),
+            _robot_ego(self.robot, sim.vel),
             _pseudo_lidar(sim.pos, sim.buttons, BUTTON_RADIUS),
             _pseudo_lidar(sim.pos, sim.hazards, self.hazard_radius),
             _pseudo_lidar(sim.pos, self._gremlin_pos(sim), GREMLIN_RADIUS),
@@ -238,6 +256,8 @@ class ButtonEnv(SafeEnv):
 
 register("SafetyPointButton1-v0", lambda **kw: ButtonEnv(1))
 register("SafetyPointButton2-v0", lambda **kw: ButtonEnv(2))
+register("SafetyCarButton1-v0", lambda **kw: ButtonEnv(1, robot="car"))
+register("SafetyCarButton2-v0", lambda **kw: ButtonEnv(2, robot="car"))
 
 
 # ---------------------------------------------------------------------------
@@ -267,12 +287,15 @@ class PushEnv(SafeEnv):
 
     max_episode_steps = 1000
 
-    def __init__(self, level: int = 1):
+    def __init__(self, level: int = 1, robot: str = "point"):
+        assert robot in ("point", "car")
+        self.robot = robot
         self.n_hazards = 2 if level == 1 else 4
         self.hazard_radius = 0.2 if level == 1 else 0.25
         self.action_size = 2
-        # box compass(2)+dist(1) + box->goal compass(2)+dist(1) + vel(2) + lidar
-        self.observation_size = 8 + LIDAR_BINS
+        # box compass(2)+dist(1) + box->goal compass(2)+dist(1) + ego + lidar
+        self.observation_size = 6 + (2 if robot == "point" else 3) \
+            + LIDAR_BINS
 
     def _init_sim(self, rng: Array) -> PushSim:
         k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
@@ -287,9 +310,7 @@ class PushEnv(SafeEnv):
         )
 
     def _step_sim(self, sim: PushSim, action: Array, rng: Array) -> PushSim:
-        acc = 10.0 * action - 1.0 * sim.vel
-        vel = sim.vel + DT * acc
-        pos = jnp.clip(sim.pos + DT * vel, -1.5 * ARENA, 1.5 * ARENA)
+        pos, vel = _robot_step(self.robot, sim.pos, sim.vel, action)
 
         # quasi-static push: when the robot overlaps the box, the box is
         # displaced along the contact normal by the overlap amount
@@ -325,7 +346,7 @@ class PushEnv(SafeEnv):
             jnp.array([d_box / (2 * ARENA)]),
             rel_goal / jnp.maximum(d_goal, 1e-6),
             jnp.array([d_goal / (2 * ARENA)]),
-            sim.vel / 5.0,
+            _robot_ego(self.robot, sim.vel),
             _pseudo_lidar(sim.pos, jnp.concatenate(
                 [sim.hazards, sim.pillar[None, :]], axis=0),
                 self.hazard_radius),
@@ -352,3 +373,76 @@ class PushEnv(SafeEnv):
 
 register("SafetyPointPush1-v0", lambda **kw: PushEnv(1))
 register("SafetyPointPush2-v0", lambda **kw: PushEnv(2))
+register("SafetyCarPush1-v0", lambda **kw: PushEnv(1, robot="car"))
+register("SafetyCarPush2-v0", lambda **kw: PushEnv(2, robot="car"))
+
+
+# ---------------------------------------------------------------------------
+# Circle family (safety-gymnasium SafetyPointCircle1/2, SafetyCarCircle1/2):
+# circulate a circle of radius CIRCLE_R_NAV; cost fires beyond the sigwall
+# |x| > x_lim (level 2 tightens the walls). Reference benchmark suite,
+# ``docs/tutorials/benchmark.rst:84-87``; same circulation reward as the
+# Bullet CircleTask (envs/tasks.py) at the navigation suite's scale.
+# ---------------------------------------------------------------------------
+
+CIRCLE_R_NAV = 1.5
+
+
+@struct.dataclass
+class CircleNavSim:
+    pos: Array   # (2,)
+    vel: Array   # (2,)
+
+
+class CircleNavEnv(SafeEnv):
+    """Circle-following navigation with sigwall cost."""
+
+    max_episode_steps = 500
+
+    def __init__(self, robot: str = "point", level: int = 1):
+        assert robot in ("point", "car")
+        self.robot = robot
+        self.x_lim = 1.125 if level == 1 else 1.0
+        self.action_size = 2
+        # [x/R, y/R, dist-R, wall margin] + world vel(2) + ego(2|3)
+        self.observation_size = 6 + (2 if robot == "point" else 3)
+
+    def _init_sim(self, rng: Array) -> CircleNavSim:
+        k1, k2 = jax.random.split(rng)
+        theta = jax.random.uniform(k1, (), minval=0, maxval=2 * jnp.pi)
+        pos = CIRCLE_R_NAV * jnp.array([jnp.cos(theta), jnp.sin(theta)])
+        pos = pos.at[0].set(jnp.clip(pos[0], -self.x_lim, self.x_lim))
+        return CircleNavSim(pos=pos, vel=jnp.zeros(2))
+
+    def _step_sim(self, sim: CircleNavSim, action: Array,
+                  rng: Array) -> CircleNavSim:
+        pos, vel = _robot_step(self.robot, sim.pos, sim.vel, action)
+        return CircleNavSim(pos=pos, vel=vel)
+
+    def _obs(self, sim: CircleNavSim) -> Array:
+        x, y = sim.pos[0], sim.pos[1]
+        dist = jnp.linalg.norm(sim.pos)
+        wvel = _robot_world_vel(self.robot, sim.vel)
+        return jnp.concatenate([
+            jnp.array([x / CIRCLE_R_NAV, y / CIRCLE_R_NAV,
+                       (dist - CIRCLE_R_NAV) / CIRCLE_R_NAV,
+                       (self.x_lim - jnp.abs(x)) / self.x_lim]),
+            wvel / 5.0,
+            _robot_ego(self.robot, sim.vel),
+        ])
+
+    def _reward_cost(self, sim_prev: CircleNavSim, sim: CircleNavSim,
+                     action: Array):
+        x, y = sim.pos[0], sim.pos[1]
+        wvel = _robot_world_vel(self.robot, sim.vel)
+        dist = jnp.linalg.norm(sim.pos)
+        reward = (-y * wvel[0] + x * wvel[1]) / (
+            CIRCLE_R_NAV * (1.0 + jnp.abs(dist - CIRCLE_R_NAV)))
+        cost = (jnp.abs(x) > self.x_lim).astype(jnp.float32)
+        return reward, cost
+
+
+register("SafetyPointCircle1-v0", lambda **kw: CircleNavEnv("point", 1))
+register("SafetyPointCircle2-v0", lambda **kw: CircleNavEnv("point", 2))
+register("SafetyCarCircle1-v0", lambda **kw: CircleNavEnv("car", 1))
+register("SafetyCarCircle2-v0", lambda **kw: CircleNavEnv("car", 2))
