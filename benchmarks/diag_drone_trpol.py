@@ -29,27 +29,23 @@ an algorithm-class x env-structure interaction (crash-termination makes
 not a tuning defect (A). The reference's PyBullet drone has softer
 crash behavior; its published trpol curve plateaus mid-tier.
 
-ROUND-5 UPDATE (after the ground-floor alignment, fsrl_tpu/envs/drone.py —
-ground is now a resting state, not an exit):
+ROUND-5 RESOLUTION (fsrl_tpu/envs/drone.py):
 
-  E. SAC-Lag is FIXED by the alignment alone: best -11 -> 694 @ cost 0.6
-     (1.85x the reference scale, 3 seeds in benchmarks/results_1m). The
-     bang-bang "crash early, pay nothing" exit was the whole sacl failure.
-  F. Trust-region still stalls, but the basin moved from "crash" to "hover
-     still / sit grounded" (feasible, reward ~0-50). Probes on the aligned
-     env, 1M each: sigma_floor=0.2 entropy floor (best 44.8@24.0, mid-run
-     peak 72 then decay), softer PID 0.05/0.0005/0.1 (best 47.5@24.5),
-     target_kl=0.02 (best 51.5@24.8) — all ~0.1x. The multiplier reacts
-     faster than the monotone KL-bounded steps can coordinate
-     tilt+thrust+speed near the constraint boundary, so the policy retreats
-     to the v=0 interior optimum each oscillation. PPO's clipped stochastic
-     updates (reward 491-700) and all off-policy learners escape it.
-     Remaining as a documented limitation of the analog: the quadrotor
-     attitude coupling makes the feasible boundary harder to ride than the
-     reference's PyBullet drone.
-
-Usage: JAX_PLATFORMS=cpu python benchmarks/diag_drone_trpol.py \
-           --variants A,B --budget 500000
+  E. Ground-floor variant (ground = resting state, no exit): FIXED sacl
+     outright (best -11 -> 694-711, 3/3 feasible) and let cpo escape on
+     2/3 seeds — but STARVED the on-policy family: with no termination a
+     crashed drone wallows grounded, on-policy learners lose their
+     airborne sample concentration and ppol/focops fell to ~0.1x (bests
+     44-58 across grounded-penalty 1.0/0.1 and an elastic-bounce variant,
+     2M-5M probes; results archived in results_archive/r5_floor_variants).
+  F. Entropy floor (sigma>=0.2), softer PID, target_kl=0.02 on the floor
+     variant: all flat (~44-52) — not an exploration-size problem.
+  G. FINAL SEMANTICS — crash-termination RESTORED + the crash charged to
+     the COST channel at the suite limit (CRASH_COST=25): a crashed
+     episode is never feasible, so the die-fast basin is removed BY
+     CONSTRUCTION while termination keeps on-policy samples airborne.
+     2M probes: trpol best 720 @ cost 23 (from 0.22x to ~1.6x reference
+     scale), ppol 713 @ 9. Full 7x3 grid re-run in results_1m.
 """
 
 from __future__ import annotations

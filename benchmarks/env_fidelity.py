@@ -171,18 +171,17 @@ def main(cfg: FidCfg):
         "  the 300k tier caught feasible flight (best 540@0) mid-",
         "  transition: the analog's near-binary episodic cost (477 or 0)",
         "  gives the Q-driven controller no gradient along the ridge.",
-        "  **ROUND-5 UPDATE — ground-floor alignment** (`envs/drone.py`:",
-        "  ground became a resting state, matching the reference PyBullet",
-        "  drone's crash semantics; all pre-alignment Drone results are",
-        "  archived in `results_archive/pre_floor_drone/`). This FIXED",
-        "  sacl outright (best 694-711, all 3 seeds feasible, ~1.9x the",
-        "  reference scale) and lets cpo escape on 2/3 seeds (696/411 vs",
-        "  47); trpol still stalls at ~0.1x — further probes (entropy",
-        "  floor sigma>=0.2, softer PID, target_kl 0.02) are committed in",
-        "  `diag_drone_trpol.py` findings E-F: the multiplier reacts",
-        "  faster than monotone KL-bounded steps can coordinate",
-        "  tilt+thrust near the boundary, so trpol retreats to the",
-        "  feasible hover/grounded interior.",
+        "  **ROUND-5 RESOLUTION — crash-cost semantics** (`envs/drone.py`):",
+        "  crashing now charges the COST channel at the suite limit",
+        "  (CRASH_COST=25), so a crashed episode is never feasible and the",
+        "  die-fast basin is removed BY CONSTRUCTION, while",
+        "  crash-termination itself is kept (a non-terminating floor",
+        "  variant fixed sacl/cpo but starved on-policy learners of",
+        "  airborne samples — ppol/focops fell to ~0.1x; all probes and",
+        "  the full variant-comparison record are in",
+        "  `diag_drone_trpol.py` E-G and `results_archive/`). Probes on",
+        "  the final semantics: trpol 720@23 (0.22x -> ~1.6x), ppol",
+        "  713@9; the full 7-algo x 3-seed grid below is measured on it.",
         "- **DroneCircle (RESOLVED)**: the round-3 sub-0.8x off-policy rows",
         "  were budget-limited (curves still rising at the 300k cutoff vs",
         "  the reference's 4M plateau). Budget-matched round-4 re-runs",

@@ -2,10 +2,12 @@
 SafetyDroneRun-v0 / SafetyDroneCircle-v0 analogs of Bullet-Safety-Gym's Drone.
 
 Dynamics: rigid body with roll/pitch attitude, rotor mixing to (thrust, roll
-torque, pitch torque); yaw is ignored. Gravity must be actively compensated.
-The ground is an inelastic resting plane (reference PyBullet semantics —
-crashing does not end the episode); flying far above the arena terminates,
-so the family still exercises the true-``terminated``/value-mask path.
+torque, pitch torque); yaw is ignored. Gravity must be actively compensated,
+and the episode terminates on ground contact (z <= 0) — the one agent in the
+family with a true ``terminated`` signal, exercising the value-mask path.
+Crashing charges the COST channel at the suite limit (``CRASH_COST``): a
+crash is itself a safety violation, so "die fast" is never a feasible
+shortcut for the constrained optimizer (see ``_reward_cost``).
 """
 
 from __future__ import annotations
@@ -34,6 +36,9 @@ ANG_DRAG = 2.0
 # can call jax.config.update. Converted inside _step_sim (jit-traced, free).
 LIN_DRAG = (0.3, 0.3, 1.6)
 Z_TARGET = 2.0
+# Cost charged to the constraint channel on crash-termination: the suite's
+# standard cost limit, so a crashed episode can never undercut the budget.
+CRASH_COST = 25.0
 VEL_SCALE = 5.0
 
 
@@ -89,13 +94,6 @@ class DroneEnv(SafeEnv):
         # (trpol 0.22x / cpo 0.41x / sacl -0.03x, benchmarks/
         # diag_drone_trpol.py findings C-D). Grounded: z clamped, downward
         # velocity zeroed (thrust can still lift off), strong xy friction.
-        grounded = pos[2] <= 0.0
-        pos = pos.at[2].set(jnp.maximum(pos[2], 0.0))
-        vel = jnp.where(
-            grounded,
-            jnp.array([0.3, 0.3, 1.0]) * jnp.maximum(
-                vel, jnp.array([-jnp.inf, -jnp.inf, 0.0])),
-            vel)
         return DroneSim(pos=pos, vel=vel, att=att, angvel=angvel)
 
     def _obs(self, sim: DroneSim) -> Array:
@@ -111,16 +109,24 @@ class DroneEnv(SafeEnv):
 
     def _reward_cost(self, sim_prev: DroneSim, sim: DroneSim, action: Array):
         reward, cost = self.task.reward_cost(sim.pos[:2], sim.vel[:2])
-        # altitude-hold shaping + per-step grounded penalty (the ground is a
-        # resting state, not an exit — see _step_sim); flying away still
-        # terminates with a penalty
-        reward = reward - 0.1 * jnp.abs(sim.pos[2] - Z_TARGET) \
-            - 1.0 * (sim.pos[2] <= 0.0).astype(jnp.float32) \
-            - 10.0 * self._terminated(sim).astype(jnp.float32)
+        term = self._terminated(sim).astype(jnp.float32)
+        # altitude-hold shaping + crash penalty keep the task well-posed in 3D
+        reward = reward - 0.1 * jnp.abs(sim.pos[2] - Z_TARGET) - 10.0 * term
+        # Crashing IS a safety violation: the crash charges the COST channel
+        # at the standard suite limit, so a crashed episode is never
+        # feasible. This removes the "die fast" degenerate basin BY
+        # CONSTRUCTION (a dead drone used to pay no episodic cost, which
+        # made early termination the nearest feasible point for every
+        # monotone/deterministic learner — trpol 0.22x / cpo 0.41x /
+        # sacl -0.03x, diag_drone_trpol.py) while keeping crash-termination
+        # itself, which concentrates on-policy samples on airborne states
+        # (non-terminating floor/bounce variants starved PPO/FOCOPS to
+        # ~0.1x; measured r5, findings E-G).
+        cost = cost + CRASH_COST * term
         return reward, cost
 
     def _terminated(self, sim: DroneSim) -> Array:
-        return sim.pos[2] > 4.0 * Z_TARGET
+        return jnp.logical_or(sim.pos[2] <= 0.0, sim.pos[2] > 4.0 * Z_TARGET)
 
 
 register("SafetyDroneRun-v0", lambda **kw: DroneEnv(RunTask(**kw)))

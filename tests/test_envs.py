@@ -97,39 +97,30 @@ def test_circle_task_cost_and_reward_direction():
     assert float(c) == 1.0
 
 
-def test_drone_ground_is_resting_state_not_exit():
-    """Free fall reaches the ground plane and RESTS there (reference
-    PyBullet semantics, round-5 alignment): no termination, z clamped at 0,
-    a per-step grounded reward penalty, and thrust can lift off again."""
+def test_drone_crash_terminates_and_charges_cost():
+    """Free fall hits the ground -> episode TERMINATES and the crash is
+    charged to the COST channel at the suite limit (CRASH_COST): a crashed
+    episode is never feasible, so "die fast" cannot be the constrained
+    optimizer's shortcut (round-5 semantics; diag_drone_trpol.py E-G)."""
+    from fsrl_tpu.envs.drone import CRASH_COST
     env = make("SafetyDroneRun-v0")
     state = env.reset(jax.random.PRNGKey(0))
 
     @jax.jit
     def run(state):
         def body(c, _):
-            s, term, z, r = c
+            s, term, ccum = c
             # full negative rotors → zero thrust → free fall
             s, ts = env.step(s, -jnp.ones(4))
-            return (s, jnp.logical_or(term, ts.terminated),
-                    s.sim.pos[2], ts.reward), None
+            first = jnp.logical_and(ts.terminated, jnp.logical_not(term))
+            ccum = ccum + jnp.where(first, ts.cost[0], 0.0)
+            return (s, jnp.logical_or(term, ts.terminated), ccum), None
         return jax.lax.scan(body, (state, jnp.zeros((), bool),
-                                   jnp.zeros(()), jnp.zeros(())),
-                            None, length=100)
+                                   jnp.zeros(())), None, length=100)
 
-    (s_end, term, z_end, r_end), _ = run(state)
-    assert not bool(term)                      # grounding is not an exit
-    assert float(z_end) == 0.0                 # resting on the plane
-    assert float(r_end) < -0.9                 # grounded penalty applies
-
-    @jax.jit
-    def lift(state):
-        def body(s, _):
-            s, ts = env.step(s, jnp.ones(4))   # full thrust
-            return s, s.sim.pos[2]
-        return jax.lax.scan(body, state, None, length=20)
-
-    _, zs = lift(s_end)
-    assert float(zs[-1]) > 0.5                 # can take off again
+    (_, term, crash_cost), _ = run(state)
+    assert bool(term)                       # crash ends the episode
+    assert float(crash_cost) >= CRASH_COST  # and is a charged violation
 
 
 def test_drone_flyaway_still_terminates():
