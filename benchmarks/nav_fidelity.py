@@ -183,7 +183,15 @@ def main(cfg: NavFidCfg):
         "",
         "Known analysis for the partially-feasible cells:",
         "",
-        "- **Button1 sacl** (2/3 seeds above limit; bests 77-84, finals",
+        "- **Button1 sacl — RESOLVED (r5)**: with `qc_ucb=0.5` (cost-Q",
+        "  head-disagreement pessimism, a documented-deviation knob on",
+        "  SACLag) all 3 seeds produce FEASIBLE best checkpoints",
+        "  (203@20.8, 225@22.1, 71@6.2 — `results_button_ucb/`): the",
+        "  disagreement penalty steers the actor off the cost-50",
+        "  attractor where the two cost heads disagree. The default-config",
+        "  rows below keep the attractor for reference-parity; the",
+        "  pre-resolution analysis follows.",
+        "- **Button1 sacl (default config)** (2/3 seeds above limit; bests 77-84, finals",
         "  ~50 = 2x limit, down from 113-207 pre-hardening). Probed and",
         "  REFUTED: eval stochasticity (deterministic eval of the same",
         "  policy reads 53.8 vs 52.8) and the entropy temperature (fixed",
