@@ -101,6 +101,8 @@ def main(cfg: PGCfg):
             print(f"    best {res['best_reward']:.1f} @ cost "
                   f"{res['best_cost']:.1f}  ({res['wall_s']:.0f}s)",
                   flush=True)
+    from make_summaries import summarize_dir
+    summarize_dir(cfg.outdir)
 
 
 if __name__ == "__main__":

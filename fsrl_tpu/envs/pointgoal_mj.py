@@ -185,5 +185,6 @@ class PointGoalMJEnv:
 
 
 def make_pointgoal_vector_env(n_envs: int = 10):
+    """HostVectorEnv over ``n_envs`` raw-MuJoCo PointGoal1 instances."""
     from fsrl_tpu.envs.host_env import HostVectorEnv
     return HostVectorEnv([lambda: PointGoalMJEnv() for _ in range(n_envs)])

@@ -16,7 +16,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULT_DIRS = sorted(
     d for d in glob.glob(os.path.join(REPO, "benchmarks", "results*"))
-    if os.path.isdir(d))
+    if os.path.isdir(d) and "results_archive" not in d)
+# results_archive/** holds frozen records of superseded env versions /
+# diagnosis probes; summaries are only maintained for live result dirs.
 
 
 def iter_results(d):
