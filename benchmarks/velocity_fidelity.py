@@ -129,6 +129,14 @@ def main(cfg: VelFidCfg):
                 f"{top/1e6:.1f}M | {ratio}{flag_s} |")
     lines += [
         "",
+        "**Swimmer ppol GAP status (r5)**: probed at 5M — softer PID",
+        "(0.02/0.0002/0.05, letting the policy ride closer to the limit)",
+        "scores WORSE (35.6 vs the faithful config's 44;",
+        "`results_velocity_diag/`), so the gap is not controller-gain",
+        "over-damping. The faithful config reproduces 0.80x over 3 seeds;",
+        "remaining hypotheses (horizon/credit structure on Swimmer's",
+        "drag-dominated dynamics) are documented, unresolved.",
+        "",
         "Reference curves are TRAIN reward (stochastic policy, running",
         "mean); our numbers are deterministic-eval test checkpoints, which",
         "typically read slightly higher than the train curve at the same",
