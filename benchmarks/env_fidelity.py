@@ -182,6 +182,12 @@ def main(cfg: FidCfg):
         "  `diag_drone_trpol.py` E-G and `results_archive/`). Probes on",
         "  the final semantics: trpol 720@23 (0.22x -> ~1.6x), ppol",
         "  713@9; the full 7-algo x 3-seed grid below is measured on it.",
+        "- **DroneCircle env-version note (r5)**: the DroneCircle rows",
+        "  were measured before the crash-cost charge was added to the",
+        "  Drone env (the change affects crash-heavy TRAINING phases;",
+        "  DroneCircle's committed policies fly without crashing, and",
+        "  fresh 5M-preset cells in results_5m supersede these rows as",
+        "  they land). DroneRun rows are post-change.",
         "- **DroneCircle (RESOLVED)**: the round-3 sub-0.8x off-policy rows",
         "  were budget-limited (curves still rising at the 300k cutoff vs",
         "  the reference's 4M plateau). Budget-matched round-4 re-runs",
