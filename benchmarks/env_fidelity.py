@@ -182,6 +182,11 @@ def main(cfg: FidCfg):
         "  `diag_drone_trpol.py` E-G and `results_archive/`). Probes on",
         "  the final semantics: trpol 720@23 (0.22x -> ~1.6x), ppol",
         "  713@9; the full 7-algo x 3-seed grid below is measured on it.",
+        "- **AntCircle budget note**: quoted at 5M (3 seeds, ppol/trpol",
+        "  feasible at 755-1369 best) vs its 10M registry preset — the",
+        "  reference publishes NO AntCircle curve (`benchmark.rst:18-26`),",
+        "  so there is no plateau to match; the 10M tier was deprioritized",
+        "  for cells with published comparisons.",
         "- **DroneCircle env-version note (r5)**: the DroneCircle rows",
         "  were measured before the crash-cost charge was added to the",
         "  Drone env (the change affects crash-heavy TRAINING phases;",
