@@ -50,13 +50,16 @@ class VelCurveCfg:
 
 
 def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
+    from fsrl_tpu.algos.cpo import CPO
+    from fsrl_tpu.algos.focops import FOCOPS
     from fsrl_tpu.algos.ppo_lag import PPOLag
     from fsrl_tpu.algos.sac_lag import SACLag
+    from fsrl_tpu.algos.trpo_lag import TRPOLag
     from fsrl_tpu.envs.velocity import make_velocity_vector_env
     from fsrl_tpu.trainer.host_trainer import (HostOffpolicyTrainer,
                                                HostOnpolicyTrainer)
 
-    onpolicy = key == "ppol"
+    onpolicy = key in ("ppol", "trpol", "cpo", "focops")
     budget = cfg.budget if onpolicy else cfg.off_budget
     n_envs = cfg.n_envs if onpolicy else cfg.off_n_envs
     venv = make_velocity_vector_env(cfg.task, n_envs=n_envs)
@@ -67,9 +70,19 @@ def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
         # reference minibatching: batch_size 256 over the 20k collect,
         # repeat 4 -> ~312 grad steps per collect (ppol_cfg.py:44-49)
         nmb = max(1, (cfg.steps_per_collect * cfg.n_envs) // 256)
-        algo = PPOLag(venv.observation_size, venv.action_size,
-                      cost_limit=cfg.cost_limit, episode_len=1000,
-                      lagrangian_pid=gains, repeat=4, n_minibatches=nmb)
+        common = dict(cost_limit=cfg.cost_limit, episode_len=1000)
+        if key == "ppol":
+            algo = PPOLag(venv.observation_size, venv.action_size,
+                          lagrangian_pid=gains, repeat=4, n_minibatches=nmb,
+                          **common)
+        elif key == "trpol":
+            algo = TRPOLag(venv.observation_size, venv.action_size,
+                           lagrangian_pid=gains, **common)
+        elif key == "cpo":
+            algo = CPO(venv.observation_size, venv.action_size, **common)
+        else:
+            algo = FOCOPS(venv.observation_size, venv.action_size,
+                          repeat=4, n_minibatches=nmb, **common)
         trainer = HostOnpolicyTrainer(
             algo, venv, epochs=epochs, step_per_epoch=cfg.step_per_epoch,
             steps_per_collect=cfg.steps_per_collect,
@@ -112,7 +125,8 @@ def main(cfg: VelCurveCfg):
         for seed in (int(s) for s in cfg.seeds.split(",")):
             print(f"=== {key} seed {seed} on {cfg.task} ===", flush=True)
             res = run_one(cfg, key, seed)
-            tag = "" if cfg.pid == "0.05,0.0005,0.1" or key != "ppol" \
+            tag = "" if cfg.pid == "0.05,0.0005,0.1" or \
+                key not in ("ppol", "trpol") \
                 else "-pid" + cfg.pid.replace(",", "_")
             path = os.path.join(cfg.outdir,
                                 f"{cfg.task}-{key}{tag}-s{seed}.json")
