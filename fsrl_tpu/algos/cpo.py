@@ -69,7 +69,7 @@ class CPO:
         lr: float = 1e-3,
         target_kl: float = 0.01,
         backtrack_coeff: float = 0.8,
-        max_backtracks: int = 10,
+        max_backtracks: int = 100,
         optim_critic_iters: int = 10,
         l2_reg: float = 1e-3,
         gae_lambda: float = 0.95,
@@ -236,12 +236,18 @@ class CPO:
         )
         step_dir = step_dir / jnp.maximum(jnp.linalg.norm(step_dir), EPS)
 
-        # ---- line search (cpo.py:317-333) as vmapped candidate sweep ----
-        betas = hp["backtrack_coeff"] ** jnp.arange(hp["max_backtracks"],
-                                                    dtype=flat0.dtype)
+        # ---- line search (cpo.py:317-333) as early-exit while_loop ----
+        # The direction is UNIT-NORM (not KL-calibrated like TRPO's), so a
+        # failed search must back off very deep before the residual step is
+        # harmless; the reference's cpo_cfg.py:23 default is max_backtracks
+        # = 100 (0.8^99 ~ 2e-10 ~ rollback).  A shallow depth (e.g. 10)
+        # leaves a 0.8^9 ~ 0.13-norm step APPLIED on exhaustion — a
+        # guaranteed-destructive update whenever the search fails.
+        coeff = jnp.asarray(hp["backtrack_coeff"], dtype=flat0.dtype)
+        max_bt = hp["max_backtracks"]
 
-        def eval_cand(beta):
-            cand = flat0 + beta * step_dir
+        def cand_ok(i):
+            cand = flat0 + coeff ** i * step_dir
             kl_ok = kl_flat(cand) <= delta
             obj_ok = jnp.where(optim_case > 1,
                                objective_flat(cand) > objective0, True)
@@ -249,12 +255,20 @@ class CPO:
                        <= jnp.maximum(-c_value, 0.0))
             return jnp.logical_and(kl_ok, jnp.logical_and(obj_ok, cost_ok))
 
-        oks = jax.vmap(eval_cand)(betas)
-        any_ok = jnp.any(oks)
+        def ls_cond(carry):
+            i, ok = carry
+            return jnp.logical_and(jnp.logical_not(ok), i < max_bt)
+
+        def ls_body(carry):
+            i, _ = carry
+            return i + 1, cand_ok(i.astype(flat0.dtype))
+
+        n_tried, any_ok = jax.lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(0, jnp.int32), jnp.asarray(False)))
         # on total failure the reference's loop leaves the smallest candidate
         # APPLIED (cpo.py:317-333 — no rollback on exhaustion); reproduce that
-        beta = jnp.where(any_ok, betas[jnp.argmax(oks)],
-                         betas[hp["max_backtracks"] - 1])
+        accept_idx = jnp.where(any_ok, n_tried - 1, max_bt - 1)
+        beta = coeff ** accept_idx.astype(flat0.dtype)
         # NaN guard (cpo.py:312-313): skip the update entirely on NaN lambda
         lam_nan = jnp.isnan(lam)
         beta = jnp.where(lam_nan, 0.0, beta)
@@ -286,6 +300,8 @@ class CPO:
             "loss/optim_lam": lam, "loss/optim_nu": nu,
             "loss/optim_case": optim_case.astype(jnp.float32),
             "loss/step_size": beta,
+            "loss/backtracks": accept_idx.astype(jnp.float32),
+            "loss/ls_ok": any_ok.astype(jnp.float32),
             "loss/vf_total": closses[-1],
             "update/line_search_ok": any_ok.astype(jnp.float32),
         }

@@ -111,7 +111,7 @@ class CPOCfg(TrainCfg):
     lr: float = 1e-3
     target_kl: float = 0.01
     backtrack_coeff: float = 0.8
-    max_backtracks: int = 10
+    max_backtracks: int = 100  # reference cpo_cfg.py:23 (unit-norm direction)
     optim_critic_iters: int = 10
     l2_reg: float = 1e-3
     gae_lambda: float = 0.95
