@@ -76,10 +76,14 @@ def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
                           lagrangian_pid=gains, repeat=4, n_minibatches=nmb,
                           **common)
         elif key == "trpol":
+            # repeat=4: the reference's MujocoBaseCfg repeat_per_collect
+            # (trpol_cfg.py:92) — one TR step per 20k collect starves the
+            # natural-gradient family (50 updates of KL<=target per 1M steps)
             algo = TRPOLag(venv.observation_size, venv.action_size,
-                           lagrangian_pid=gains, **common)
+                           lagrangian_pid=gains, repeat=4, **common)
         elif key == "cpo":
-            algo = CPO(venv.observation_size, venv.action_size, **common)
+            algo = CPO(venv.observation_size, venv.action_size, repeat=4,
+                       **common)
         else:
             algo = FOCOPS(venv.observation_size, venv.action_size,
                           repeat=4, n_minibatches=nmb, **common)

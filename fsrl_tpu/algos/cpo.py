@@ -81,6 +81,9 @@ class CPO:
         cg_iters: int = 10,
         damping: float = 0.1,
         deterministic_eval: bool = True,
+        repeat: int = 1,  # TR steps per collect (reference repeat_per_collect;
+        #   cpo_cfg.py TrainCfg/MujocoBaseCfg default 4 — the velocity/mujoco
+        #   protocol NEEDS >1: 20k-step collects give only 50 collects/1M)
         sigma_floor: float | None = None,  # entropy floor (documented deviation)
         compute_dtype: Any = None,   # jnp.bfloat16 -> MXU mixed-precision trunks
         episode_len: int | None = None,  # env truncation horizon -> 1-pass GAE critic
@@ -95,7 +98,7 @@ class CPO:
             max_backtracks=max_backtracks, optim_critic_iters=optim_critic_iters,
             l2_reg=l2_reg, gae_lambda=gae_lambda,
             norm_adv=advantage_normalization, gamma=gamma, cg_iters=cg_iters,
-            damping=damping,
+            damping=damping, repeat=max(1, int(repeat)),
         )
         self.deterministic_eval = deterministic_eval
         self.actor = GaussianActor(
@@ -154,7 +157,62 @@ class CPO:
         obs, act, logp_old = batch.obs, batch.act, batch.logp_old
         advR, advC = adv[:, 0], adv[:, 1]
 
-        actor_params = state.params["actor"]
+        limit = self.cost_limit if cost_limit is None \
+            else jnp.squeeze(cost_limit)
+        delta = hp["target_kl"]
+
+        # ---- one TR step + critic iters; repeated `repeat` times per
+        # collect (reference learn() cpo.py:353-363: `for _ in range(repeat)`
+        # with repeat_per_collect from the config). Each iteration recomputes
+        # the trust region around the CURRENT params; logp_old / advantages
+        # stay fixed at collect time, exactly like the reference.
+        def tr_body(carry, _):
+            actor_params, critic_params, copt = carry
+            (actor_params, metrics) = self._tr_step(
+                actor_params, obs, act, logp_old, advR, advC, ave_cost,
+                limit, delta)
+
+            # ---- critics: Adam + L2 reg (cpo.py:147-162) ----
+            def critic_step(c, _):
+                cp, copt = c
+                def closs(cp):
+                    v = self.critics.apply(cp, obs)
+                    mse = jnp.sum(jnp.mean((batch.ret - v) ** 2, axis=0))
+                    l2 = sum(jnp.sum(p ** 2) for p in jax.tree.leaves(cp))
+                    return mse + hp["l2_reg"] * l2
+                loss, grads = jax.value_and_grad(closs)(cp)
+                updates, copt = self.critic_tx.update(grads, copt, cp)
+                return (optax.apply_updates(cp, updates), copt), loss
+
+            (critic_params, copt), closses = jax.lax.scan(
+                critic_step, (critic_params, copt),
+                None, length=hp["optim_critic_iters"])
+            metrics["loss/vf_total"] = closses[-1]
+            return (actor_params, critic_params, copt), metrics
+
+        (actor_params, critic_params, copt), minfos = jax.lax.scan(
+            tr_body,
+            (state.params["actor"], state.params["critics"],
+             state.critic_opt_state),
+            None, length=hp["repeat"])
+        metrics = {k: jnp.mean(v) for k, v in minfos.items()}
+
+        new_state = CPOState(
+            params={"actor": actor_params, "critics": critic_params},
+            critic_opt_state=copt,
+            last_ep_cost=jnp.where(n_episodes > 0, ep_cost_mean,
+                                   state.last_ep_cost),
+            update_count=state.update_count + 1,
+            gradient_steps=state.gradient_steps
+            + hp["repeat"] * hp["optim_critic_iters"],
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def _tr_step(self, actor_params, obs, act, logp_old, advR, advC,
+                 ave_cost, limit, delta):
+        """One CPO trust-region actor step (dual solve + line search)."""
+        hp = self.hp
         flat0, unravel = ravel_pytree(actor_params)
         old_dist = self.actor.apply(actor_params, obs)
 
@@ -186,10 +244,7 @@ class CPO:
         q = jnp.dot(fvp(H_inv_g), H_inv_g)
         r = jnp.dot(fvp(H_inv_g), H_inv_b)
         s = jnp.dot(fvp(H_inv_b), H_inv_b)
-        limit = self.cost_limit if cost_limit is None \
-            else jnp.squeeze(cost_limit)
         c_value = cost_surr0 - limit
-        delta = hp["target_kl"]
 
         # ---- 4-case dual solve (cpo.py:259-304) as branchless arithmetic ----
         b_negligible = jnp.logical_and(jnp.dot(grad_b, grad_b) <= EPS,
@@ -273,23 +328,6 @@ class CPO:
         lam_nan = jnp.isnan(lam)
         beta = jnp.where(lam_nan, 0.0, beta)
         new_flat = flat0 + beta * step_dir
-        actor_params = unravel(new_flat)
-
-        # ---- critics: Adam + L2 reg (cpo.py:147-162) ----
-        def critic_step(c, _):
-            cp, copt = c
-            def closs(cp):
-                v = self.critics.apply(cp, obs)
-                mse = jnp.sum(jnp.mean((batch.ret - v) ** 2, axis=0))
-                l2 = sum(jnp.sum(p ** 2) for p in jax.tree.leaves(cp))
-                return mse + hp["l2_reg"] * l2
-            loss, grads = jax.value_and_grad(closs)(cp)
-            updates, copt = self.critic_tx.update(grads, copt, cp)
-            return (optax.apply_updates(cp, updates), copt), loss
-
-        (critic_params, copt), closses = jax.lax.scan(
-            critic_step, (state.params["critics"], state.critic_opt_state),
-            None, length=hp["optim_critic_iters"])
 
         metrics = {
             "loss/kl": kl_flat(new_flat),
@@ -302,16 +340,6 @@ class CPO:
             "loss/step_size": beta,
             "loss/backtracks": accept_idx.astype(jnp.float32),
             "loss/ls_ok": any_ok.astype(jnp.float32),
-            "loss/vf_total": closses[-1],
             "update/line_search_ok": any_ok.astype(jnp.float32),
         }
-
-        new_state = CPOState(
-            params={"actor": actor_params, "critics": critic_params},
-            critic_opt_state=copt,
-            last_ep_cost=jnp.where(n_episodes > 0, ep_cost_mean,
-                                   state.last_ep_cost),
-            update_count=state.update_count + 1,
-            gradient_steps=state.gradient_steps + hp["optim_critic_iters"],
-        )
-        return new_state, metrics
+        return unravel(new_flat), metrics

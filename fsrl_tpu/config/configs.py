@@ -116,6 +116,10 @@ class CPOCfg(TrainCfg):
     l2_reg: float = 1e-3
     gae_lambda: float = 0.95
     norm_adv: bool = True
+    # TR steps per collect (reference repeat_per_collect=4; kept at 1 here
+    # because the committed Bullet grids — small 9.6k collects — were
+    # measured at 1; the velocity protocol overrides to 4)
+    repeat: int = 1
 
     def algo_kwargs(self) -> dict:
         return dict(
@@ -124,7 +128,7 @@ class CPOCfg(TrainCfg):
             max_backtracks=self.max_backtracks,
             optim_critic_iters=self.optim_critic_iters, l2_reg=self.l2_reg,
             gae_lambda=self.gae_lambda, advantage_normalization=self.norm_adv,
-            gamma=self.gamma,
+            gamma=self.gamma, repeat=self.repeat,
         )
 
 
