@@ -13,6 +13,13 @@ stroke angle ``alpha`` (hip sweep) and lift ``l`` in [0, 1] (knee). Actions =
 forward thrust; sweeping forward while grounded brakes — so net progress
 demands the swing-lift/power-press cycle. Left/right thrust asymmetry turns
 the torso. Falls (all legs lifted at speed) terminate the episode.
+
+Falling charges the COST channel at the suite limit (``FALL_COST``), the
+same crash-cost semantics as ``envs/drone.py``: a fall is itself a safety
+violation, so the "fall fast, pay no episodic cost" degenerate feasible
+point — diagnosed as the stall-seed mechanism behind the sub-0.8x AntRun
+on-policy cells (`docs/env_fidelity.md`, `benchmarks/diag_drone_trpol.py`)
+— is removed by construction while fall-termination is kept.
 """
 
 from __future__ import annotations
@@ -34,6 +41,10 @@ DRAG = 0.8
 TURN = 1.5
 LIFT_TAU = 8.0         # lift servo speed
 VEL_SCALE = 4.0
+# Cost charged to the constraint channel on fall-termination (see module
+# docstring; mirrors drone.py CRASH_COST): the suite's standard cost limit,
+# so a fallen episode can never undercut the budget.
+FALL_COST = 25.0
 
 
 @struct.dataclass
@@ -117,8 +128,12 @@ class AntEnv(SafeEnv):
     def _reward_cost(self, sim_prev: AntSim, sim: AntSim, action: Array):
         reward, cost = self.task.reward_cost(sim.pos, self._world_vel(sim))
         # small control cost like MuJoCo Ant
-        reward = reward - 0.01 * jnp.sum(action**2) \
-            - 5.0 * self._terminated(sim).astype(jnp.float32)
+        term = self._terminated(sim).astype(jnp.float32)
+        reward = reward - 0.01 * jnp.sum(action**2) - 5.0 * term
+        # falling IS a safety violation (drone.py crash-cost semantics): the
+        # charge removes the die-fast degenerate feasible point that stalls
+        # 1-in-3 on-policy seeds (env_fidelity.md AntRun diagnosis)
+        cost = cost + FALL_COST * term
         return reward, cost
 
     def _terminated(self, sim: AntSim) -> Array:
