@@ -200,8 +200,8 @@ def main(cfg: FidCfg):
         "  0.98-2.26x the reference on this task (cpo 4M: 836; cvpo/sacl",
         "  1M: 996/940 vs plateaus 370-690), with best costs 3-22 vs",
         "  limit 25.",
-        "- **AntRun ppol/focops/cpo/cvpo (0.4-0.7x at n=3)**: the 5M",
-        "  seed fills expose one-in-three stall seeds (ppol s2 best 49@8.8,",
+        "- **AntRun ppol/focops/cpo (was 0.4-0.7x at n=3)**: the 5M seed",
+        "  fills exposed one-in-three stall seeds (ppol s2 best 49@8.8,",
         "  focops s2 35@0 while sibling seeds reach 460+ feasible) — the",
         "  same crash-early degenerate-feasible interaction diagnosed on",
         "  DroneRun (`diag_drone_trpol.py`): Ant episodes terminate on",
@@ -209,6 +209,18 @@ def main(cfg: FidCfg):
         "  early infeasible phase and some seeds never escape. trpol",
         "  (1.08x, 711-713 on ALL seeds) and sacl (1.01x) show the env",
         "  itself supports reference-scale feasible reward.",
+        "  **ROUND-5 RESOLUTION — fall-cost semantics** (`envs/ant.py`):",
+        "  falling now charges the COST channel at the suite limit",
+        "  (FALL_COST=25), the same by-construction removal of the",
+        "  die-fast basin that fixed DroneRun; pre-change on-policy",
+        "  results are archived in `results_archive/pre_fallcost_ant/`",
+        "  and the ppol/focops/cpo rows above are re-measured on the",
+        "  aligned env (r5b tpu queue).",
+        "- **AntRun/AntCircle env-version note (r5)**: the remaining",
+        "  trpol/sacl/ddpgl/cvpo AntRun rows and the AntCircle rows were",
+        "  measured before the fall-cost charge (their committed policies",
+        "  walk without falling, so eval behavior is unchanged; the change",
+        "  affects fall-heavy TRAINING phases only).",
     ]
     os.makedirs(os.path.dirname(cfg.out), exist_ok=True)
     with open(cfg.out, "w") as f:
