@@ -215,7 +215,16 @@ def main(cfg: FidCfg):
         "  die-fast basin that fixed DroneRun; pre-change on-policy",
         "  results are archived in `results_archive/pre_fallcost_ant/`",
         "  and the ppol/focops/cpo rows above are re-measured on the",
-        "  aligned env (r5b tpu queue).",
+        "  aligned env (r5b tpu queue). Outcome: **cpo 0.68x -> ~1.0x**",
+        "  (590-689 on s0/s1, 411 s2). ppol/focops retain a SEED LOTTERY",
+        "  (ppol 624/620 on 2-of-5 seeds vs 34-168 stalls; focops",
+        "  317-334 on 2-of-5 vs ~40 stalls): with die-fast closed, stall",
+        "  seeds now converge to the stand-still feasible optimum",
+        "  (reward ~35 @ cost 0 — upright, not walking). Gait discovery",
+        "  on this paddling-contact model is exploration-hard for",
+        "  KL-penalized first-order updates specifically; trust-region",
+        "  (trpol 1.08x, cpo ~1.0x, ALL seeds) and off-policy",
+        "  (1.01-1.04x) families are at reference scale on every seed.",
         "- **AntRun/AntCircle env-version note (r5)**: the remaining",
         "  trpol/sacl/ddpgl/cvpo AntRun rows and the AntCircle rows were",
         "  measured before the fall-cost charge (their committed policies",
