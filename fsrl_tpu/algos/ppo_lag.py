@@ -86,7 +86,9 @@ class PPOLag:
         episode_len: int | None = None,  # env truncation horizon → 1-pass GAE critic
         gae_impl: str = "pscan",  # "pscan" | "scan" | "pallas" (TPU kernel)
         dp_blocks: int = 1,   # dp mesh size → block-local minibatch shuffle
-        use_pallas_grad: bool = False,  # fused TPU grad-step kernel (see ops/fused_ppo_grad.py: wins in isolation, loses in-pipeline to custom-call layout copies)
+        # fused TPU grad-step kernel (ops/fused_ppo_grad.py: wins in
+        # isolation, loses in-pipeline to custom-call layout copies)
+        use_pallas_grad: bool = False,
     ):
         self.obs_dim, self.act_dim = obs_dim, act_dim
         self.num_costs = num_costs

@@ -12,7 +12,7 @@ import pytest
 
 from fsrl_tpu.algos.ppo_lag import PPOLag
 from fsrl_tpu.ops.fused_ppo_grad import ppo_grad_minibatch
-from fsrl_tpu.types import minibatch_epochs_scan, minibatch_scan
+from fsrl_tpu.types import minibatch_epochs_scan
 
 
 def _setup(B=256, D=8, A=2, K=2, tie_rows=True):

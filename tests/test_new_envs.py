@@ -146,7 +146,7 @@ def test_pointgoal_mj_task_semantics():
     resamples without ending the episode; standing inside a hazard pays
     cost 1/step; obs is finite with the documented layout."""
     import numpy as np
-    from fsrl_tpu.envs.pointgoal_mj import (GOAL_R, HAZARD_R, PointGoalMJEnv)
+    from fsrl_tpu.envs.pointgoal_mj import PointGoalMJEnv
 
     env = PointGoalMJEnv(seed=3)
     obs, _ = env.reset(seed=3)
