@@ -51,6 +51,8 @@ class VelCurveCfg:
 
 def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
     from fsrl_tpu.algos.cpo import CPO
+    from fsrl_tpu.algos.cvpo import CVPO
+    from fsrl_tpu.algos.ddpg_lag import DDPGLag
     from fsrl_tpu.algos.focops import FOCOPS
     from fsrl_tpu.algos.ppo_lag import PPOLag
     from fsrl_tpu.algos.sac_lag import SACLag
@@ -93,8 +95,15 @@ def run_one(cfg: VelCurveCfg, key: str, seed: int) -> dict:
             episode_per_test=cfg.episode_per_test,
             cost_limit=cfg.cost_limit, seed=seed, verbose=False)
     else:
-        algo = SACLag(venv.observation_size, venv.action_size,
-                      cost_limit=cfg.cost_limit)
+        if key == "sacl":
+            algo = SACLag(venv.observation_size, venv.action_size,
+                          cost_limit=cfg.cost_limit)
+        elif key == "ddpgl":
+            algo = DDPGLag(venv.observation_size, venv.action_size,
+                           cost_limit=cfg.cost_limit)
+        else:
+            algo = CVPO(venv.observation_size, venv.action_size,
+                        cost_limit=cfg.cost_limit, max_episode_steps=1000)
         trainer = HostOffpolicyTrainer(
             algo, venv, epochs=epochs, step_per_epoch=cfg.step_per_epoch,
             steps_per_collect=cfg.off_steps_per_collect,
